@@ -1,0 +1,142 @@
+"""Typed configuration tree.
+
+Replaces the reference's HierarchyArgmentParser flag groups
+(``SPConvNets/options.py``, ``vgtk/vgtk/app/parse_config.py``) with dataclasses.
+Category presets reproduce the shipped ``scripts/train/*.sh`` flag sets.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # architecture (ref build_model, unsup_..._40:3387-3650)
+    kanchor: int = 60
+    kpconv_kanchor: int = 60
+    input_num: int = 512
+    nmasks: int = 2                      # number of slots / parts
+    mlps: Tuple[Tuple[int, ...], ...] = ((64,), (128,), (512,))
+    out_mlp: Tuple[int, ...] = (256,)
+    init_radius: float = 0.2
+    input_radius: float = 0.4
+    sigma_ratio: float = 0.5
+    n_neighbor: int = 32
+    temperature: float = 3.0
+    norm: str = "batch"
+    compute_dtype: str = "float32"
+    chunk_a: int = 0                     # anchor chunking for inter conv
+
+    # behaviour (equi_settings group)
+    num_iters: int = 2
+    part_pred_npoints: int = 128
+    recon_prior: int = 6
+    glb_recon_npoints: int = 512
+    shape_type: str = "oven"
+    joint_type: str = "revolute"         # 'revolute' | 'prismatic'
+    slot_iters: int = 7
+    pred_axis: bool = True
+    pred_t: bool = True
+    representation: str = "quat"
+    glb_recon_factor: float = 1.0
+    slot_recon_factor: float = 0.5
+    glb_single_cd: bool = False
+    slot_single_cd: bool = False
+    slot_single_mode: bool = True
+    sel_mode_trans: Optional[int] = None
+    use_art_mode: bool = False
+    with_part_proposal: bool = True
+    rel_for_points: bool = False
+    permute_modes: int = 1
+    rot_angle_factor: float = 0.5
+    axis_reg_stra: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    init_lr: float = 1e-4
+    lr_type: str = "exp_decay"           # 'exp_decay' | 'constant'
+    decay_rate: float = 0.7
+    decay_step: int = 20000
+    num_iterations: int = 1_000_000
+    save_freq: int = 200
+    log_freq: int = 20
+    eval_freq: int = 2000
+    seed: int = 2913
+    global_rot: bool = True              # pre-align with frozen stage-0 model
+    resume_path: Optional[str] = None
+    resume_path_glb: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset_path: str = "./data"
+    dataset_type: str = "motion"         # motion | motion_partial | hoi4d | hoi4d_partial | sapien | synthetic
+    shape_type: str = "oven"
+    npoints: int = 512
+    global_rot_mode: str = "random"      # 'random' | 'anchor' | 'none'
+    use_multi_sample: bool = True
+    n_samples: int = 100
+    partial: bool = False
+    num_workers: int = 4
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    run_mode: str = "train"
+    experiment_id: str = "playground"
+    model_dir: str = "./ckpt"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(shape_type: str, *, nmasks: int, input_num: int, joint_type="revolute",
+         recon_prior=6, num_iters=2, dataset_type="motion", **model_kw) -> Config:
+    return Config(
+        model=ModelConfig(
+            shape_type=shape_type,
+            nmasks=nmasks,
+            input_num=input_num,
+            joint_type=joint_type,
+            recon_prior=recon_prior,
+            num_iters=num_iters,
+            **model_kw,
+        ),
+        data=DataConfig(shape_type=shape_type, npoints=input_num,
+                        dataset_type=dataset_type,
+                        partial="partial" in dataset_type),
+    )
+
+
+# Category presets — replicate scripts/train/*.sh flag sets (SURVEY.md S1/S2).
+PRESETS: dict[str, Config] = {
+    # use_equi=38 two-part revolute categories
+    "oven": _cfg("oven", nmasks=2, input_num=380),
+    "washing_machine": _cfg("washing_machine", nmasks=2, input_num=512),
+    "laptop": _cfg("laptop", nmasks=2, input_num=512),
+    "safe": _cfg("safe", nmasks=2, input_num=512),
+    # use_equi=35: eyeglasses, 3 slots / 2 revolute joints
+    "eyeglasses": _cfg("eyeglasses", nmasks=3, input_num=512),
+    # use_equi=39: drawer, prismatic, 4 slots
+    "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
+                   dataset_type="sapien"),
+    # partial-view / real-scan variants
+    "laptop_partial": _cfg("laptop", nmasks=2, input_num=512,
+                           dataset_type="motion_partial"),
+    "laptop_hoi4d": _cfg("laptop", nmasks=2, input_num=512,
+                         dataset_type="hoi4d", recon_prior=9),
+    "tiny": _cfg("oven", nmasks=2, input_num=64,
+                 mlps=((16,), (32,)), out_mlp=(32,), num_iters=1,
+                 part_pred_npoints=16, glb_recon_npoints=32),
+}
+
+
+def get_config(name: str) -> Config:
+    return PRESETS[name]

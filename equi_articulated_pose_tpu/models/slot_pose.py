@@ -1,0 +1,373 @@
+"""Stage-1 slot pose model — the flagship.
+
+Self-supervised part segmentation (slot attention) + per-part rotation-anchor
+pose regression + per-part canonical shape reconstruction, trained purely with
+chamfer losses.  Re-design of the reference's
+``unsup_seg_so3_pose_conv_pn_{35,38,39,40}_multi_stage.ClsSO3ConvModel``
+stage-1 forward (``unsup_..._40:1536-3315``) with every per-(slot, batch)
+Python loop replaced by masked, vmapped fixed-shape computation:
+
+* per-slot unshared modules (inv blocks, RT heads, decoders) are `nn.vmap`'d
+  over a leading slot axis;
+* the ragged per-slot point subsets become hard one-hot masks over the full
+  cloud (semantics the reference itself defines in its WithMask blocks);
+* slot-orbit selection is a vectorised min/argmin over the [B, S, A] loss
+  tensor (slot_single_mode) — no Python loops over batch/anchor/permutation.
+
+Variant coverage (ref models 35/38/39/40) is by configuration: ``nmasks``
+(slots), ``joint_type`` ('revolute' quat heads / 'prismatic' translation-only
+heads — the drawer model), ``recon_prior`` (decoder family).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from ..geom import so3 as so3g
+from ..nn.blocks import SO3Backbone, make_backbone_specs
+from ..nn.containers import SpherePoints, identity_pose, preprocess_input
+from ..nn.decoders import (
+    DecoderConstantCommon,
+    DecoderFC,
+    DecoderFCAtlas,
+    DecoderFCWithPVP,
+    DecoderFCWithPVPAtlas,
+    DecoderFCWithPVPConstantCommon,
+)
+from ..nn.heads import SO3PoseHead, SO3PrismaticHead
+from ..nn.outblocks import InvOutBlock, InvPPOutBlock
+from ..nn.slot_attention import SlotAttention
+from ..ops.chamfer import chamfer_sq
+from ..ops.sampling import furthest_point_sampling, pairwise_sqdist
+
+BIG = 1e5
+
+
+class _SlotDecoder(nn.Module):
+    """Per-slot canonical shape decoder, selected by recon_prior
+    (ref ``unsup_..._40:249-297``).  Returns (pts, pivot, central), with pivot
+    and central zeros when the prior has none."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, inv_feat: jnp.ndarray):
+        c = self.cfg
+        M = c.part_pred_npoints
+        feats = (256, 256)
+        rp = c.recon_prior
+        if rp in (6, 7):
+            pts, pv, cp = DecoderFCWithPVP(feats, M)(inv_feat)
+        elif rp == 8:
+            pts, pv, cp = DecoderFCWithPVPAtlas(feats, M)(inv_feat)
+        elif rp == 9:
+            pts, pv, cp = DecoderFCWithPVPConstantCommon(feats, M)(inv_feat)
+        elif rp == 4:
+            pts = DecoderFCAtlas(feats, M)(inv_feat)
+            pv = cp = jnp.full(inv_feat.shape[:-1] + (3,), 0.5)
+        elif rp == 2:
+            pts = DecoderConstantCommon(feats, M)(inv_feat)
+            pv = cp = jnp.full(inv_feat.shape[:-1] + (3,), 0.5)
+        else:
+            pts = DecoderFC(feats, M)(inv_feat)
+            pv = cp = jnp.full(inv_feat.shape[:-1] + (3,), 0.5)
+        return pts, pv, cp
+
+
+def _slot_vmap(module_cls, num_slots: int, in_axes, **kwargs):
+    """Per-slot unshared parameters via a leading slot axis."""
+    return nn.vmap(
+        module_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=in_axes,
+        out_axes=0,
+        axis_size=num_slots,
+    )(**kwargs)
+
+
+class SlotPoseModel(nn.Module):
+    cfg: ModelConfig
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        c = self.cfg
+        S = c.nmasks
+        specs = make_backbone_specs(
+            c.mlps,
+            kanchor=c.kpconv_kanchor,
+            input_num=c.input_num,
+            initial_radius_ratio=c.init_radius,
+            input_radius=c.input_radius,
+            sigma_ratio=c.sigma_ratio,
+            n_neighbor=c.n_neighbor,
+            use_pose=True,
+            permute_modes=c.permute_modes,
+            norm=c.norm,
+            chunk_a=c.chunk_a,
+            compute_dtype=c.compute_dtype,
+        )
+        self.backbone = SO3Backbone(specs=specs, axis_name=self.axis_name)
+        self.backbone_sec = SO3Backbone(specs=specs, axis_name=self.axis_name)
+
+        self.inv_out_dim = c.out_mlp[-1]
+        self.ppint_outblk = InvPPOutBlock(
+            mlp=c.out_mlp, temperature=c.temperature, norm=c.norm,
+            axis_name=self.axis_name,
+        )
+        self.slot_attention = SlotAttention(
+            num_slots=S, dim=self.inv_out_dim, iters=c.slot_iters,
+            hidden_dim=self.inv_out_dim,
+        )
+
+        inv_kw = dict(
+            mlp=c.out_mlp, temperature=c.temperature, norm=c.norm,
+            axis_name=self.axis_name, use_pointnet=True,
+        )
+        # per-slot inv block over the slot's masked points (abs positions)
+        self.slot_outblock = _slot_vmap(
+            InvOutBlock, S, in_axes=(None, 0), use_abs_pos=True, **inv_kw
+        )
+        # per-slot pair inv block over the whole cloud (ref overrides the pair
+        # subset to the full cloud, unsup_..._40:1810-1811)
+        self.pair_slot_outblock = _slot_vmap(
+            InvOutBlock, S, in_axes=(None, None), use_abs_pos=True, **inv_kw
+        )
+        self.slot_decoder = _slot_vmap(_SlotDecoder, S, in_axes=(0,), cfg=c)
+        # pair decoder supplies the pivot point (ref :2014-2020)
+        self.pair_slot_decoder = _slot_vmap(
+            DecoderFCWithPVP, S, in_axes=(0,), n_features=(256, 256), output_pts=2
+        )
+        head_kw = dict(mlp=c.out_mlp, norm=c.norm, axis_name=self.axis_name)
+        if c.joint_type == "prismatic":
+            self.slot_rt_head = _slot_vmap(
+                SO3PrismaticHead, S, in_axes=(None, 0), **head_kw
+            )
+        else:
+            self.slot_rt_head = _slot_vmap(
+                SO3PoseHead,
+                S,
+                in_axes=(None, 0),
+                representation=c.representation,
+                pred_t=c.pred_t,
+                pred_axis=c.pred_axis,
+                **head_kw,
+            )
+        self.anchors_const = jnp.asarray(so3g.get_anchors(c.kpconv_kanchor))
+
+    # ------------------------------------------------------------------
+    def _encode(self, xyz, x_list=None, hard_label=None):
+        """Backbone features.  First iteration: encode the raw cloud; later
+        iterations: encode each slot's inverse-transformed cloud and select
+        per point by the previous hard label (ref :1578-1615)."""
+        B, N, _ = xyz.shape
+        A = self.cfg.kpconv_kanchor
+        pose = identity_pose(B, N)
+        if x_list is None:
+            x = self.backbone(preprocess_input(xyz, A, pose))
+        else:
+            S = x_list.shape[0]  # [S, B, N, 3]
+            flat = x_list.reshape(S * B, N, 3)
+            fx = self.backbone(
+                preprocess_input(flat, A, identity_pose(S * B, N))
+            )
+            feats = fx.feats.reshape(S, B, N, A, -1)
+            sel = hard_label[:, :, None, None, None]  # [B, N, 1, 1, 1]
+            feats = jnp.take_along_axis(jnp.moveaxis(feats, 0, 2), sel, axis=2)[
+                :, :, 0
+            ]  # [B, N, A, C]
+            x = SpherePoints(xyz, feats, pose)
+        x_seg = self.backbone_sec(preprocess_input(xyz, A, pose))
+        return x, x_seg
+
+    # ------------------------------------------------------------------
+    def forward_one_iter(
+        self,
+        xyz: jnp.ndarray,                 # [B, N, 3]
+        *,
+        x_list: Optional[jnp.ndarray] = None,      # [S, B, N, 3]
+        hard_label: Optional[jnp.ndarray] = None,  # [B, N]
+        slot_rng: Optional[jax.Array] = None,
+    ) -> dict[str, Any]:
+        c = self.cfg
+        B, N, _ = xyz.shape
+        S = c.nmasks
+        A = self.cfg.kpconv_kanchor
+        M = c.part_pred_npoints
+        anchors = self.anchors_const
+
+        x, x_seg = self._encode(xyz, x_list, hard_label)
+
+        # --- point grouping ------------------------------------------------
+        ppinv, pp_conf = self.ppint_outblk(x_seg)
+        slots, attn_ori = self.slot_attention(ppinv, slot_rng)  # [B,S,N]
+        hard_labels = jnp.argmax(attn_ori, axis=1)              # [B, N]
+        one_hot = jax.nn.one_hot(hard_labels, S, axis=-1)       # [B, N, S]
+        masks = jnp.moveaxis(one_hot, -1, 0)                    # [S, B, N]
+        slot_counts = one_hot.sum(1)                            # [B, S]
+        base_slot = jnp.argmax(slot_counts, axis=-1)            # [B]
+        is_base = jax.nn.one_hot(base_slot, S, axis=-1)         # [B, S]
+
+        # --- per-slot inv features, poses, reconstructions -----------------
+        slot_inv, _ = self.slot_outblock(x, masks)              # [S, B, C]
+        pair_inv, _ = self.pair_slot_outblock(x, None)          # [S, B, C]
+        rt = self.slot_rt_head(x, masks)
+        canon, _pv_own, central = self.slot_decoder(slot_inv)   # [S,B,M,3],[S,B,3]
+        _pair_pts, pv, _pc = self.pair_slot_decoder(pair_inv)   # pivot from pair
+
+        canon = jnp.moveaxis(canon, 0, 1) - 0.5                 # [B, S, M, 3]
+        pv_points = jnp.moveaxis(pv, 0, 1) - 0.5                # [B, S, 3]
+        central_points = jnp.moveaxis(central, 0, 1) - 0.5      # [B, S, 3]
+
+        raw_R = jnp.moveaxis(rt["R"], 0, 1)                     # [B, S, A, r]
+        slot_T = jnp.moveaxis(rt["T"], 0, 1)                    # [B, S, A, 3]
+        if "axis" in rt:
+            slot_axis = jnp.moveaxis(rt["axis"], 0, 1)          # [B, S, A, 3]
+        else:
+            slot_axis = jnp.zeros((B, S, A, 3)).at[..., 1].set(1.0)
+
+        # rotation matrices; base slot forced to identity (ref :2201-2203)
+        if c.joint_type == "prismatic":
+            R_mtx = jnp.broadcast_to(jnp.eye(3), (B, S, A, 3, 3))
+        else:
+            R_mtx = so3g.quat_to_matrix(raw_R)                  # [B,S,A,3,3]
+            eye = jnp.broadcast_to(jnp.eye(3), R_mtx.shape)
+            R_mtx = jnp.where(is_base[:, :, None, None, None] > 0.5, eye, R_mtx)
+
+        # defined axis: slot 1's predicted axis (ref :2195, :2228)
+        defined_axis = slot_axis[:, min(1, S - 1)]              # [B, A, 3]
+
+        # anchor composition (ref :2466-2468)
+        slot_R = jnp.einsum("aij,bsajk->bsaik", anchors, R_mtx)
+        slot_T_rot = jnp.einsum("aij,bsaj->bsai", anchors, slot_T)
+
+        # --- per-(slot, anchor) chamfer -------------------------------------
+        # transformed canonical pts: [B, S, A, M, 3]
+        tpts = jnp.einsum("bsaij,bsmj->bsami", slot_R, canon) + slot_T_rot[..., None, :]
+        d2 = pairwise_sqdist(
+            tpts.reshape(B, S * A, M, 3),
+            jnp.broadcast_to(xyz[:, None], (B, S * A, N, 3)),
+        ).reshape(B, S, A, M, N)
+
+        # recon->ori restricted to in-slot points (ref :2544-2547)
+        mask_n = one_hot.transpose(0, 2, 1)[:, :, None, None, :]   # [B,S,1,1,N]
+        d2_masked = jnp.where(mask_n > 0.5, d2, BIG)
+        recon_to_ori = jnp.min(d2_masked, axis=-1).mean(-1)        # [B, S, A]
+
+        # ori->recon with soft weights = hard-mask * attention (ref :2557-2567)
+        ori_to_recon_n = jnp.min(d2, axis=-2)                      # [B, S, A, N]
+        soft_w = (one_hot.transpose(0, 2, 1) * attn_ori)[:, :, None, :]
+        ori_to_recon = jnp.sum(ori_to_recon_n * soft_w, axis=-1) / jnp.clip(
+            jnp.sum(soft_w, axis=-1), 1e-8
+        )                                                           # [B, S, A]
+
+        orbit_cost = (
+            ori_to_recon if c.slot_single_cd else ori_to_recon + recon_to_ori
+        )
+
+        # --- orbit selection -------------------------------------------------
+        if c.slot_single_mode:
+            total = jnp.sum(orbit_cost, axis=1)                     # [B, A]
+            orbit = jnp.argmin(total, axis=-1)                      # [B]
+            slot_orbits = jnp.broadcast_to(orbit[:, None], (B, S))
+        else:
+            slot_orbits = jnp.argmin(orbit_cost, axis=-1)           # [B, S]
+
+        sel = slot_orbits[..., None]
+        slot_cost_sel = jnp.take_along_axis(orbit_cost, sel, axis=2)[..., 0]
+        indicator = (slot_counts > 0.5).astype(jnp.float32)         # [B, S]
+        slot_loss = jnp.sum(slot_cost_sel * indicator, axis=-1)     # [B]
+
+        tpts_sel = jnp.take_along_axis(
+            tpts, sel[..., None, None], axis=2
+        )[:, :, 0]                                                  # [B, S, M, 3]
+        pred_R = jnp.take_along_axis(slot_R, sel[..., None, None], axis=2)[:, :, 0]
+        pred_T = jnp.take_along_axis(slot_T_rot, sel[..., None], axis=2)[:, :, 0]
+        sel_anchor = anchors[slot_orbits]                           # [B, S, 3, 3]
+
+        # --- global (whole-shape) chamfer ------------------------------------
+        union = (tpts_sel * indicator[..., None, None]).reshape(B, S * M, 3)
+        fps_idx = furthest_point_sampling(union, N)
+        sampled = jnp.take_along_axis(union, fps_idx[..., None], axis=1)
+        g_r2o, g_o2r = chamfer_sq(sampled, xyz)
+        glb_loss = (
+            g_o2r.mean(-1)
+            if c.glb_single_cd
+            else g_r2o.mean(-1) + g_o2r.mean(-1)
+        )
+
+        loss = (
+            glb_loss * c.glb_recon_factor + slot_loss * c.slot_recon_factor
+        ).mean()
+
+        # --- per-point poses & next-iteration clouds -------------------------
+        pt_R = jnp.take_along_axis(
+            pred_R, hard_labels[:, :, None, None], axis=1
+        )  # [B, N, 3, 3]
+        pt_T = jnp.take_along_axis(pred_T, hard_labels[:, :, None], axis=1)  # [B,N,3]
+
+        pt_R = jax.lax.stop_gradient(pt_R)
+        pt_T = jax.lax.stop_gradient(pt_T)
+        sR = jax.lax.stop_gradient(pred_R)
+        sT = jax.lax.stop_gradient(pred_T)
+        # x_s = R_s R_pt^T (p) + (T_s - R_s R_pt^T T_pt)  (ref :3289-3296)
+        relR = jnp.einsum("bsij,bnkj->bsnik", sR, pt_R)           # [B,S,N,3,3]
+        relT = sT[:, :, None] - jnp.einsum("bsnij,bnj->bsni", relR, pt_T)
+        x_next = jnp.einsum("bsnij,bnj->bsni", relR, xyz) + relT  # [B,S,N,3]
+        x_next = jnp.moveaxis(x_next, 1, 0)                       # [S,B,N,3]
+
+        # real (world-frame) joint axis (ref :3095-3102)
+        ax_sel = jnp.take_along_axis(
+            defined_axis, slot_orbits[:, :1, None], axis=1
+        )[:, 0]                                                    # [B, 3]
+        real_axis = jnp.einsum("bij,bj->bi", sel_anchor[:, 0], ax_sel)
+
+        return {
+            "loss": loss,
+            "glb_loss": glb_loss.mean(),
+            "slot_loss": slot_loss.mean(),
+            "recon_l1": 0.5
+            * (jnp.sqrt(g_r2o).mean() + jnp.sqrt(g_o2r).mean()),
+            "attn": attn_ori,
+            "hard_labels": hard_labels,
+            "pred_R": pred_R,
+            "pred_T": pred_T,
+            "point_R": pt_R,
+            "point_T": pt_T,
+            "slot_canon": canon,
+            "transformed_pts": tpts_sel,
+            "pv_points": pv_points,
+            "central_points": central_points,
+            "slot_orbits": slot_orbits,
+            "selected_anchors": sel_anchor,
+            "real_defined_axis": real_axis,
+            "base_slot": base_slot,
+            "x_next": x_next,
+        }
+
+    # ------------------------------------------------------------------
+    def __call__(self, xyz: jnp.ndarray, rngs: Optional[jax.Array] = None):
+        """Multi-iteration forward (ref ``forward``, :3335-3379).
+
+        Returns (loss, aux-dict of the last iteration).
+        """
+        c = self.cfg
+        loss = 0.0
+        out = None
+        x_list = None
+        hard_label = None
+        for it in range(c.num_iters):
+            rng = None
+            if rngs is not None:
+                rng = jax.random.fold_in(rngs, it)
+            out = self.forward_one_iter(
+                xyz, x_list=x_list, hard_label=hard_label, slot_rng=rng
+            )
+            loss = loss + out["loss"]
+            x_list = out["x_next"]
+            hard_label = out["hard_labels"]
+        return loss / c.num_iters, out

@@ -1,0 +1,91 @@
+"""End-to-end forward/backward smoke tests for stage-0 and stage-1 models
+(tiny shapes, CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from equi_articulated_pose_tpu.config import get_config
+from equi_articulated_pose_tpu.models import GlobalAlignModel, SlotPoseModel
+
+
+CFG = get_config("tiny").model
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(2, CFG.input_num, 3).astype(np.float32) * 0.3
+    return jnp.asarray(pts)
+
+
+def test_stage0_forward_backward(cloud):
+    model = GlobalAlignModel(cfg=CFG)
+    params = model.init(jax.random.PRNGKey(0), cloud)
+    out = model.apply(params, cloud)
+    assert out["glb_R"].shape == (2, 3, 3)
+    assert out["glb_T"].shape == (2, 3)
+    assert out["inv_pts"].shape == cloud.shape
+    assert np.isfinite(float(out["loss"]))
+
+    # R is a rotation
+    RtR = jnp.einsum("bij,bkj->bik", out["glb_R"], out["glb_R"])
+    np.testing.assert_allclose(np.asarray(RtR), np.tile(np.eye(3), (2, 1, 1)), atol=1e-4)
+
+    def loss_fn(p):
+        return model.apply(p, cloud)["loss"]
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_stage1_forward_backward(cloud):
+    model = SlotPoseModel(cfg=CFG)
+    params = model.init(jax.random.PRNGKey(1), cloud, jax.random.PRNGKey(2))
+    loss, out = model.apply(params, cloud, jax.random.PRNGKey(3))
+    S, M, N = CFG.nmasks, CFG.part_pred_npoints, CFG.input_num
+    assert np.isfinite(float(loss))
+    assert out["pred_R"].shape == (2, S, 3, 3)
+    assert out["pred_T"].shape == (2, S, 3)
+    assert out["attn"].shape == (2, S, N)
+    assert out["hard_labels"].shape == (2, N)
+    assert out["transformed_pts"].shape == (2, S, M, 3)
+    assert out["real_defined_axis"].shape == (2, 3)
+    assert out["x_next"].shape == (S, 2, N, 3)
+    # pred_R are valid rotations
+    RtR = jnp.einsum("bsij,bskj->bsik", out["pred_R"], out["pred_R"])
+    np.testing.assert_allclose(
+        np.asarray(RtR), np.tile(np.eye(3), (2, S, 1, 1)), atol=1e-4
+    )
+
+    def loss_fn(p):
+        l, _ = model.apply(p, cloud, jax.random.PRNGKey(3))
+        return l
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_stage1_prismatic(cloud):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, joint_type="prismatic", nmasks=3)
+    model = SlotPoseModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(4), cloud, jax.random.PRNGKey(5))
+    loss, out = model.apply(params, cloud, jax.random.PRNGKey(6))
+    assert np.isfinite(float(loss))
+    # prismatic: every slot rotation is an anchor rotation (identity part-R)
+    assert out["pred_R"].shape == (2, 3, 3, 3)
+
+
+def test_stage1_multi_iter(cloud):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, num_iters=2)
+    model = SlotPoseModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(7), cloud, jax.random.PRNGKey(8))
+    loss, out = model.apply(params, cloud, jax.random.PRNGKey(9))
+    assert np.isfinite(float(loss))
