@@ -1,0 +1,45 @@
+from .articulated import JointSpec, build_sample, canonical_angle, sample_joint_angle
+from .loader import DataLoader, collate
+from .mesh import (
+    estimate_normals,
+    fps_numpy,
+    load_motion_attributes,
+    load_obj,
+    load_triangles_to_seg_idx,
+    sample_points_on_mesh,
+    triangle_areas,
+)
+from .shape2motion import MotionDataset
+from .synthetic import SyntheticDataset, make_shape
+
+
+def build_dataset(data_cfg, split: str = "train", canonical_input: bool = False, **kw):
+    """Dataset factory by ``dataset_type`` (ref trainer:177-324 dispatch)."""
+    dt = data_cfg.dataset_type
+    common = dict(
+        shape_type=data_cfg.shape_type,
+        split=split,
+        npoints=data_cfg.npoints,
+        n_samples=data_cfg.n_samples,
+        use_multi_sample=data_cfg.use_multi_sample,
+        global_rot_mode=data_cfg.global_rot_mode,
+        canonical_input=canonical_input,
+    )
+    common.update(kw)
+    if dt == "synthetic":
+        return SyntheticDataset(**common)
+    if dt in ("motion", "motion2", "sapien"):
+        return MotionDataset(root=data_cfg.dataset_path, **common)
+    if dt == "motion_partial":
+        from .partial import PartialMotionDataset
+
+        return PartialMotionDataset(root=data_cfg.dataset_path, **common)
+    if dt in ("hoi4d", "hoi4d_partial"):
+        from .hoi4d import HOI4DDataset
+
+        return HOI4DDataset(
+            root=data_cfg.dataset_path,
+            partial=dt.endswith("partial"),
+            **common,
+        )
+    raise ValueError(f"unknown dataset_type {dt}")
