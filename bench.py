@@ -1,0 +1,91 @@
+"""Benchmark: stage-1 training-step throughput (point clouds / sec / chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference publishes no numbers.  Its
+training regime is 8x A100 at batch 1/GPU with per-(slot,batch) Python loops
+dominating the step; from the reference's own per-iter Time EMA regime we
+estimate ~2 point-clouds/sec per A100 for the shipped oven config.  The
+driver's target is >= 5x A100 throughput on one v5e chip, so:
+
+    vs_baseline = (measured pc/s) / A100_EST_PC_PER_SEC
+
+and the target is met when vs_baseline >= 5.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+A100_EST_PC_PER_SEC = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from equi_articulated_pose_tpu.config import get_config
+    from equi_articulated_pose_tpu.models import SlotPoseModel
+
+    # The shipped oven recipe (scripts/train/oven.sh): 380 pts, 2 slots,
+    # 60 anchors, mlps [[64],[128],[512]], 2 refinement iterations.
+    cfg = get_config("oven").model
+    on_tpu = jax.default_backend() != "cpu"
+    batch = 4 if on_tpu else 1
+    if not on_tpu:  # keep the CPU fallback tractable
+        cfg = dataclasses.replace(
+            cfg, input_num=128, mlps=((32,), (64,)), out_mlp=(64,),
+            part_pred_npoints=32, glb_recon_npoints=64, num_iters=1,
+        )
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16", chunk_a=12)
+
+    model = SlotPoseModel(cfg=cfg)
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.randn(batch, cfg.input_num, 3).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(0), xyz[:1], jax.random.PRNGKey(1))
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, xyz, key):
+        def loss_fn(p):
+            loss, out = model.apply(p, xyz, key)
+            return loss, out["glb_loss"]
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params2, opt_state2, loss
+
+    key = jax.random.PRNGKey(2)
+    # compile + warmup
+    params, opt_state, loss = train_step(params, opt_state, xyz, key)
+    jax.block_until_ready(loss)
+
+    n_iters = 10 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, loss = train_step(
+            params, opt_state, xyz, jax.random.fold_in(key, i)
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    pc_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_throughput_oven380_b%d" % batch,
+                "value": round(pc_per_sec, 3),
+                "unit": "point_clouds/sec/chip",
+                "vs_baseline": round(pc_per_sec / A100_EST_PC_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

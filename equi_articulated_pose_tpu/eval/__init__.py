@@ -1,0 +1,9 @@
+from .metrics import (
+    axis_angle_error_deg,
+    iou_matrix,
+    matched_seg_iou,
+    relative_rotation_errors,
+    rot_diff_degree,
+    rot_diff_rad,
+    translation_error,
+)

@@ -1,0 +1,91 @@
+"""Data-parallel train/eval step builders (shard_map over the device mesh).
+
+Replaces DDP + SyncBatchNorm + manual all-reduce (ref
+``trainer_unsup_arti_align.py:425-445,779-797``):
+
+* batch sharded on the ``data`` mesh axis, parameters replicated;
+* gradients and metrics reduced with ``lax.pmean`` over ICI;
+* cross-replica normalisation statistics come for free — ``EquivNorm`` takes
+  the same axis name (SyncBN semantics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from .mesh import DATA_AXIS
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    return jax.device_put(batch, NamedSharding(mesh, P(axis_name)))
+
+
+def make_dp_train_step(
+    loss_fn: Callable[..., tuple],
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    donate: bool = True,
+):
+    """loss_fn(params, batch, rng) -> (loss, metrics-dict).
+
+    Returns step(params, opt_state, batch, rng) -> (params, opt_state, metrics)
+    with batch sharded over ``axis_name`` and grads/metrics pmean'd.
+    """
+
+    def _local_step(params, opt_state, batch, rng):
+        rng = rng[0]  # undo the leading shard axis on the per-device key
+
+        def lf(p):
+            return loss_fn(p, batch, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis_name)
+        metrics = jax.lax.pmean({**metrics, "loss": loss}, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state, metrics
+
+    sharded = shard_map(
+        _local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(params, opt_state, batch, rngs):
+        return sharded(params, opt_state, batch, rngs)
+
+    return step
+
+
+def make_dp_eval_step(apply_fn: Callable, mesh: Mesh, axis_name: str = DATA_AXIS):
+    sharded = shard_map(
+        lambda params, batch: apply_fn(params, batch),
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def per_device_rngs(rng: jax.Array, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Split a key into one per device along the data axis: [n_dev, 2]."""
+    n = mesh.shape[axis_name]
+    return jax.random.split(rng, n)

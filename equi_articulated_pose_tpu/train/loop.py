@@ -1,0 +1,178 @@
+"""Training driver — the TPU analog of ``trainer_unsup_arti_align.py``.
+
+Two-stage protocol (SURVEY.md §3.1/§5.4):
+
+* stage 0 — train ``GlobalAlignModel`` on canonical-ish inputs to factor out
+  the global pose;
+* stage 1 — train ``SlotPoseModel``; when ``global_rot`` is on, every batch is
+  first pre-aligned by the FROZEN stage-0 model (inverse global transform),
+  inside the same jitted step (ref trainer:594-618).
+
+Data parallelism is one jitted shard_map step over the device mesh: batch
+sharded, grads/metrics/norm-stats pmean'd (vs DDP + SyncBN + manual
+all_reduce).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data import DataLoader, build_dataset
+from ..eval.metrics import matched_seg_iou
+from ..models import GlobalAlignModel, SlotPoseModel
+from ..parallel.dp import make_dp_train_step, per_device_rngs, replicate, shard_batch
+from ..parallel.mesh import DATA_AXIS, make_mesh
+from ..utils import Logger, Summary, Timer
+from .checkpoint import load_checkpoint, safe_load_common, save_checkpoint
+from .schedule import make_optimizer
+
+
+class Trainer:
+    def __init__(self, cfg: Config, stage: int = 1, mesh=None, log_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.stage = stage
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dev = self.mesh.shape[DATA_AXIS]
+        self.log = Logger(log_dir)
+        self.summary = Summary()
+        self.log_dir = log_dir or os.path.join(cfg.model_dir, cfg.experiment_id)
+
+        assert cfg.train.batch_size % self.n_dev == 0, (
+            f"batch {cfg.train.batch_size} not divisible by {self.n_dev} devices"
+        )
+
+        axis = DATA_AXIS if self.n_dev > 1 else None
+        cls = GlobalAlignModel if stage == 0 else SlotPoseModel
+        self.model = cls(cfg=cfg.model, axis_name=axis)
+        # axis-free twin for parameter init (pmean is unbound outside shard_map)
+        self._init_model = cls(cfg=cfg.model, axis_name=None)
+        self.glb_model = GlobalAlignModel(cfg=cfg.model, axis_name=axis)
+        self._init_glb_model = GlobalAlignModel(cfg=cfg.model, axis_name=None)
+        self.glb_params = None
+
+        self.optimizer = make_optimizer(
+            cfg.train.init_lr, cfg.train.lr_type, cfg.train.decay_rate,
+            cfg.train.decay_step,
+        )
+
+        self.dataset = build_dataset(cfg.data, split="train")
+        self.loader = DataLoader(
+            self.dataset, cfg.train.batch_size, seed=cfg.train.seed
+        )
+
+        self._step_fn = None
+        self.params = None
+        self.opt_state = None
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+
+    # ------------------------------------------------------------------
+    def init_params(self, sample_batch):
+        xyz = jnp.asarray(sample_batch["pc"][: max(2, self.n_dev)])
+        if self.stage == 0:
+            self.params = self._init_model.init(jax.random.PRNGKey(0), xyz)
+        else:
+            self.params = self._init_model.init(
+                jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1)
+            )
+        self.opt_state = self.optimizer.init(self.params)
+        n_params = sum(
+            np.prod(l.shape) for l in jax.tree_util.tree_leaves(self.params)
+        )
+        self.log.info(f"stage-{self.stage} model: {n_params/1e6:.2f}M params")
+
+    def load_glb(self, path: str):
+        """Load a frozen stage-0 checkpoint for pre-alignment
+        (--resume-path-glb)."""
+        xyz = jnp.zeros((2, self.cfg.model.input_num, 3))
+        tgt = self._init_glb_model.init(jax.random.PRNGKey(0), xyz)
+        self.glb_params = load_checkpoint(path, tgt)
+        self.log.info(f"loaded stage-0 weights from {path}")
+
+    def resume(self, path: str):
+        src = load_checkpoint(path, jax.device_get(self.params))
+        self.params, n = safe_load_common(self.params, src)
+        self.log.info(f"resumed {n} tensors from {path}")
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch, rng):
+        xyz = batch["pc"]
+        if self.stage == 0:
+            out = self.model.apply(params, xyz)
+            metrics = {"recon_l1": out["recon_l1"]}
+            return out["loss"], metrics
+        # stage 1: optional frozen pre-alignment (ref trainer:594-618)
+        if self.glb_params is not None and self.cfg.train.global_rot:
+            g = self.glb_model.apply(jax.lax.stop_gradient(self.glb_params), xyz)
+            xyz = jax.lax.stop_gradient(g["inv_pts"])
+        loss, out = self.model.apply(params, xyz, rng)
+        metrics = {
+            "glb_loss": out["glb_loss"],
+            "slot_loss": out["slot_loss"],
+            "recon_l1": out["recon_l1"],
+        }
+        # segmentation IoU vs GT (logging only; ref trainer:657-735)
+        S = self.cfg.model.nmasks
+        pred_onehot = jax.nn.one_hot(out["hard_labels"], S).transpose(0, 2, 1)
+        P = batch["pose_segs"].shape[1]
+        gt_onehot = jax.nn.one_hot(batch["label"], P).transpose(0, 2, 1)
+        iou, _ = matched_seg_iou(pred_onehot, gt_onehot)
+        metrics["iou"] = jax.lax.stop_gradient(iou.mean())
+        return loss, metrics
+
+    def _build_step(self):
+        self._step_fn = make_dp_train_step(
+            self._loss_fn, self.optimizer, self.mesh, DATA_AXIS
+        )
+
+    # ------------------------------------------------------------------
+    def train(self, num_steps: Optional[int] = None):
+        cfg = self.cfg
+        num_steps = num_steps or cfg.train.num_iterations
+        it = iter(self.loader.epochs())
+        first = next(it)
+        if self.params is None:
+            self.init_params(first)
+        if self._step_fn is None:
+            self._build_step()
+        params = replicate(self.params, self.mesh)
+        opt_state = replicate(self.opt_state, self.mesh)
+
+        timer = Timer()
+        batch = first
+        step = 0
+        while step < num_steps:
+            sb = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+            )
+            self.rng, sub = jax.random.split(self.rng)
+            rngs = per_device_rngs(sub, self.mesh)
+            params, opt_state, metrics = self._step_fn(params, opt_state, sb, rngs)
+            step += 1
+            if step % cfg.train.log_freq == 0 or step == 1:
+                m = jax.device_get(metrics)
+                self.summary.update(
+                    time=timer.tick() / max(1, cfg.train.log_freq),
+                    **{k: float(np.asarray(v).mean()) for k, v in m.items()},
+                )
+                self.log.info(f"step {step}: {self.summary.format()}")
+            if step % cfg.train.save_freq == 0:
+                self.save(params, step)
+            batch = next(it)
+
+        self.params = params
+        self.opt_state = opt_state
+        return params
+
+    def save(self, params, step: int):
+        path = os.path.join(
+            self.log_dir, "ckpt", f"{self.cfg.experiment_id}_stage{self.stage}_net_Iter{step}.msgpack"
+        )
+        save_checkpoint(path, params)
+        self.log.info(f"saved checkpoint {path}")

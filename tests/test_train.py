@@ -1,0 +1,70 @@
+"""End-to-end training-loop smoke tests (tiny synthetic data, CPU mesh)."""
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from equi_articulated_pose_tpu.config import get_config
+from equi_articulated_pose_tpu.parallel.mesh import make_mesh
+from equi_articulated_pose_tpu.train import Trainer
+from equi_articulated_pose_tpu.train.checkpoint import (
+    load_checkpoint,
+    safe_load_common,
+    save_checkpoint,
+)
+
+
+def _cfg(tmp_path, stage):
+    cfg = get_config("tiny")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset_type="synthetic", n_samples=4, npoints=cfg.model.input_num
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=4, log_freq=1, save_freq=100, global_rot=False
+        ),
+        model_dir=str(tmp_path),
+    )
+    return cfg
+
+
+def test_stage0_training_runs(tmp_path):
+    cfg = _cfg(tmp_path, 0)
+    tr = Trainer(cfg, stage=0, mesh=make_mesh(2), log_dir=str(tmp_path))
+    params = tr.train(num_steps=2)
+    assert params is not None
+
+
+def test_stage1_training_with_frozen_glb(tmp_path):
+    cfg = _cfg(tmp_path, 1)
+    mesh = make_mesh(2)
+    # quick stage-0 params
+    tr0 = Trainer(cfg, stage=0, mesh=mesh, log_dir=str(tmp_path))
+    p0 = tr0.train(num_steps=1)
+    ckpt = os.path.join(str(tmp_path), "glb.msgpack")
+    save_checkpoint(ckpt, jax.device_get(p0))
+
+    cfg1 = cfg.replace(train=dataclasses.replace(cfg.train, global_rot=True))
+    tr1 = Trainer(cfg1, stage=1, mesh=mesh, log_dir=str(tmp_path))
+    tr1.load_glb(ckpt)
+    params = tr1.train(num_steps=2)
+    assert params is not None
+    assert "iou" in dict(tr1.summary.items())
+
+
+def test_checkpoint_roundtrip_and_safe_load(tmp_path):
+    cfg = _cfg(tmp_path, 0)
+    tr = Trainer(cfg, stage=0, mesh=make_mesh(1), log_dir=str(tmp_path))
+    batch = next(iter(tr.loader))
+    tr.init_params(batch)
+    path = os.path.join(str(tmp_path), "test.msgpack")
+    save_checkpoint(path, jax.device_get(tr.params))
+    restored = load_checkpoint(path, jax.device_get(tr.params))
+    a = jax.tree_util.tree_leaves(restored)
+    b = jax.tree_util.tree_leaves(jax.device_get(tr.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y)
+    merged, n = safe_load_common(tr.params, restored)
+    assert n == len(a)
