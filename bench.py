@@ -45,7 +45,7 @@ def main():
     model = SlotPoseModel(cfg=cfg)
     rng = np.random.RandomState(0)
     xyz = jnp.asarray(rng.randn(batch, cfg.input_num, 3).astype(np.float32) * 0.3)
-    params = model.init(jax.random.PRNGKey(0), xyz[:1], jax.random.PRNGKey(1))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), xyz[:1], jax.random.PRNGKey(1))
     tx = optax.adam(1e-4)
     opt_state = tx.init(params)
 

@@ -7,3 +7,6 @@ from .metrics import (
     rot_diff_rad,
     translation_error,
 )
+from .pose_fit import procrustes
+from .ransac import ransac_fit_r, ransac_fit_t
+from .evaluator import Evaluator, run_eval

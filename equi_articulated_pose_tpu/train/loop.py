@@ -76,9 +76,9 @@ class Trainer:
     def init_params(self, sample_batch):
         xyz = jnp.asarray(sample_batch["pc"][: max(2, self.n_dev)])
         if self.stage == 0:
-            self.params = self._init_model.init(jax.random.PRNGKey(0), xyz)
+            self.params = jax.jit(self._init_model.init)(jax.random.PRNGKey(0), xyz)
         else:
-            self.params = self._init_model.init(
+            self.params = jax.jit(self._init_model.init)(
                 jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1)
             )
         self.opt_state = self.optimizer.init(self.params)
