@@ -98,21 +98,34 @@ def sample_points_on_mesh(
     return pts, tri_seg[tri_idx]
 
 
-def fps_numpy(points: np.ndarray, m: int, start: int = 0) -> np.ndarray:
-    """Greedy farthest point sampling, numpy (deterministic, start index 0)."""
+def _fps_numpy_impl(points: np.ndarray, m: int, start: int = 0) -> np.ndarray:
     n = points.shape[0]
-    if m >= n:
-        return np.arange(n, dtype=np.int64)
     idx = np.zeros(m, dtype=np.int64)
     idx[0] = start
     dist = np.full(n, np.inf)
     cur = start
+    pts = points.astype(np.float32)
     for i in range(1, m):
-        d = np.sum((points - points[cur]) ** 2, axis=-1)
+        d = np.sum((pts - pts[cur]) ** 2, axis=-1)
         dist = np.minimum(dist, d)
         cur = int(np.argmax(dist))
         idx[i] = cur
     return idx
+
+
+def fps_numpy(points: np.ndarray, m: int, start: int = 0) -> np.ndarray:
+    """Greedy farthest point sampling (deterministic, start index 0).
+
+    Dispatches to the native C++ kernel (native/pointops.cpp) when available
+    — the data-engine hot path — with a numpy fallback."""
+    n = points.shape[0]
+    if m >= n:
+        return np.arange(n, dtype=np.int64)
+    from ..native import pointops
+
+    if pointops.have_native():
+        return pointops.fps(points, m, start)
+    return _fps_numpy_impl(points, m, start)
 
 
 def estimate_normals(points: np.ndarray, k: int = 16) -> np.ndarray:

@@ -180,18 +180,19 @@ class InterSO3Conv(nn.Module):
     chunk_a: int = 0
     compute_dtype: str = "float32"
 
-    def setup(self):
-        self.kernels = jnp.asarray(
-            spherical_kernel_points(KERNEL_CONDENSE_RATIO * self.radius, self.kernel_size)
-        )
-        self.anchors = jnp.asarray(so3g.get_anchors(self.kanchor))
-        self.num_kernel_points = self.kernels.shape[0]
-        self.conv = SO3Linear(self.dim_out, self.num_kernel_points)
-
+    @nn.compact
     def __call__(self, x: SpherePoints) -> SpherePoints:
         xyz, feats, pose = x.xyz, x.feats, x.pose
         B, N, A, C = feats.shape
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        kernels = jnp.asarray(
+            spherical_kernel_points(KERNEL_CONDENSE_RATIO * self.radius, self.kernel_size)
+        )
+        anchors = jnp.asarray(so3g.get_anchors(self.kanchor))
+        ks = kernels.shape[0]
+        # the conv weight, captured as a VALUE so the checkpointed chunk loop
+        # below never creates params inside a remat trace
+        W = self.param("W", _so3conv_kernel_init, (ks, C, self.dim_out))
 
         if self.stride > 1:
             m = int(math.ceil(N / self.stride))
@@ -219,15 +220,28 @@ class InterSO3Conv(nn.Module):
             grouped_xyz = jnp.einsum("bmnij,bmnj->bmni", rel, grouped_xyz)
             anchor_perm = snap_rel_rotation_perm(
                 rel,
-                self.anchors,
+                anchors,
                 jnp.asarray(so3g.PROD_IDX),
                 jnp.asarray(so3g.INV_IDX),
             )
 
-        w = inter_kernel_weights(grouped_xyz, self.anchors, self.kernels, self.sigma)
+        w = inter_kernel_weights(grouped_xyz, anchors, kernels, self.sigma)
         grouped = group_points(feats, ball_idx)
         if anchor_perm is not None:
             grouped = jnp.take_along_axis(grouped, anchor_perm[..., None], axis=3)
+
+        def contract(g, ww):
+            acc = jnp.einsum(
+                "bmakn,bmnac->bmakc",
+                ww.astype(cdt),
+                g.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.einsum(
+                "bmakc,kcd->bmad", acc, W.astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+
         if self.chunk_a and A > self.chunk_a and A % self.chunk_a == 0:
             n_chunks = A // self.chunk_a
             gf = jnp.moveaxis(
@@ -236,28 +250,13 @@ class InterSO3Conv(nn.Module):
             wts = jnp.moveaxis(
                 w.reshape(B, w.shape[1], n_chunks, self.chunk_a, *w.shape[3:]), 2, 0
             )
-            f = jax.checkpoint(
-                lambda g, ww: self.conv(
-                    jnp.einsum(
-                        "bmakn,bmnac->bmakc",
-                        ww.astype(cdt),
-                        g.astype(cdt),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            )
+            f = jax.checkpoint(contract)
             out = jax.lax.map(lambda gw: f(gw[0], gw[1]), (gf, wts))
             new_feats = jnp.moveaxis(out, 0, 2).reshape(
                 B, w.shape[1], A, self.dim_out
             )
         else:
-            acc = jnp.einsum(
-                "bmakn,bmnac->bmakc",
-                w.astype(cdt),
-                grouped.astype(cdt),
-                preferred_element_type=jnp.float32,
-            )
-            new_feats = self.conv(acc)
+            new_feats = contract(grouped, w)
         return SpherePoints(new_xyz, new_feats, new_pose)
 
 
