@@ -88,7 +88,7 @@ class SeparableSO3ConvBlock(nn.Module):
         skip_in = x.feats
         y = InterSO3ConvBlock(spec=s, axis_name=self.axis_name)(x)
         if s.kanchor > 1:
-            z = IntraSO3Conv(dim_out=s.dim_out)(y)
+            z = IntraSO3Conv(dim_out=s.dim_out, compute_dtype=s.compute_dtype)(y)
             f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(z.feats)
             f = _act(s.activation)(f)
         else:

@@ -68,6 +68,40 @@ def intra_group_gather(feats: jnp.ndarray, trace_idx: jnp.ndarray) -> jnp.ndarra
     return flat.reshape(B, N, A, K, C)
 
 
+def intra_conv_accumulate(
+    feats: jnp.ndarray, trace_idx: jnp.ndarray, W: jnp.ndarray, cdt=jnp.float32
+) -> jnp.ndarray:
+    """Intra conv without materialising the [B, N, A, K, C] gather: accumulate
+    over the K=12 group-adjacent anchors — per step one static anchor
+    permutation + one MXU matmul.  Peak memory [B, N, A, max(C, D)]."""
+    out = None
+    for k in range(trace_idx.shape[1]):
+        gk = feats[:, :, trace_idx[:, k], :].astype(cdt)  # [B, N, A, C]
+        term = jnp.einsum(
+            "bnac,cd->bnad", gk, W[k].astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def gather_neighbors_anchors(
+    feats: jnp.ndarray,       # [B, N, A, C]
+    ball_idx: jnp.ndarray,    # [B, M, nn]
+    anchor_idx: jnp.ndarray,  # [B, M, nn, Ac] source anchor per output anchor
+) -> jnp.ndarray:
+    """Fused (neighbour, anchor) gather -> [B, M, nn, Ac, C] via one flat
+    take_along_axis over the combined (N*A) axis — lets callers chunk the
+    anchor axis WITHOUT ever materialising the full [B, M, nn, A, C]."""
+    B, N, A, C = feats.shape
+    _, M, nn = ball_idx.shape
+    Ac = anchor_idx.shape[-1]
+    flat_src = feats.reshape(B, N * A, C)
+    flat_idx = (ball_idx[..., None] * A + anchor_idx).reshape(B, M * nn * Ac)
+    out = jnp.take_along_axis(flat_src, flat_idx[..., None], axis=1)
+    return out.reshape(B, M, nn, Ac, C)
+
+
 def snap_rel_rotation_perm(
     rel_rots: jnp.ndarray,      # [..., 3, 3] relative rotations
     anchors: jnp.ndarray,       # [A, 3, 3] (must be the full group for table use)
@@ -225,12 +259,10 @@ class InterSO3Conv(nn.Module):
                 jnp.asarray(so3g.INV_IDX),
             )
 
-        w = inter_kernel_weights(grouped_xyz, anchors, kernels, self.sigma)
-        grouped = group_points(feats, ball_idx)
-        if anchor_perm is not None:
-            grouped = jnp.take_along_axis(grouped, anchor_perm[..., None], axis=3)
+        M = ball_idx.shape[1]
 
         def contract(g, ww):
+            # g [B,M,nn,Ac,C], ww [B,M,Ac,ks,nn] -> [B,M,Ac,D]
             acc = jnp.einsum(
                 "bmakn,bmnac->bmakc",
                 ww.astype(cdt),
@@ -243,32 +275,53 @@ class InterSO3Conv(nn.Module):
             )
 
         if self.chunk_a and A > self.chunk_a and A % self.chunk_a == 0:
-            n_chunks = A // self.chunk_a
-            gf = jnp.moveaxis(
-                grouped.reshape(*grouped.shape[:3], n_chunks, self.chunk_a, C), 3, 0
-            )
-            wts = jnp.moveaxis(
-                w.reshape(B, w.shape[1], n_chunks, self.chunk_a, *w.shape[3:]), 2, 0
-            )
-            f = jax.checkpoint(contract)
-            out = jax.lax.map(lambda gw: f(gw[0], gw[1]), (gf, wts))
-            new_feats = jnp.moveaxis(out, 0, 2).reshape(
-                B, w.shape[1], A, self.dim_out
-            )
+            # end-to-end anchor chunking: kernel weights, the fused
+            # (neighbour, anchor) gather, and the contraction all live per
+            # chunk, so nothing of size [B, M, nn, A, C] is ever resident.
+            def chunk_fn(sl_anchors, sl_perm):
+                wc = inter_kernel_weights(grouped_xyz, sl_anchors, kernels, self.sigma)
+                gc = gather_neighbors_anchors(feats, ball_idx, sl_perm)
+                return contract(gc, wc)
+
+            chunk_fn = jax.checkpoint(chunk_fn)
+            outs = []
+            for c0 in range(0, A, self.chunk_a):
+                sl = slice(c0, c0 + self.chunk_a)
+                if anchor_perm is not None:
+                    sl_perm = anchor_perm[..., sl]
+                else:
+                    sl_perm = jnp.broadcast_to(
+                        jnp.arange(c0, c0 + self.chunk_a, dtype=jnp.int32),
+                        (B, M, self.n_neighbor, self.chunk_a),
+                    )
+                outs.append(chunk_fn(anchors[sl], sl_perm))
+            new_feats = jnp.concatenate(outs, axis=2)
         else:
+            w = inter_kernel_weights(grouped_xyz, anchors, kernels, self.sigma)
+            if anchor_perm is not None:
+                grouped = gather_neighbors_anchors(feats, ball_idx, anchor_perm)
+            else:
+                grouped = group_points(feats, ball_idx)
             new_feats = contract(grouped, w)
         return SpherePoints(new_xyz, new_feats, new_pose)
 
 
 class IntraSO3Conv(nn.Module):
     """Rotation-group conv over the 12 SO(3)-adjacent anchors
-    (ref IntraSO3Conv, ``so3conv/modules.py:325-347``)."""
+    (ref IntraSO3Conv, ``so3conv/modules.py:325-347``).
+
+    Implemented as a K-step accumulation (static anchor permutation + MXU
+    matmul per step) — never materialises the [B, N, A, 12, C] gather."""
 
     dim_out: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: SpherePoints) -> SpherePoints:
-        trace_idx = jnp.asarray(so3g.TRACE_IDX)
-        grouped = intra_group_gather(x.feats, trace_idx)  # [B,N,A,12,C]
-        out = SO3Linear(self.dim_out, trace_idx.shape[1])(grouped)
+        trace_idx = so3g.TRACE_IDX
+        C = x.feats.shape[-1]
+        K = trace_idx.shape[1]
+        W = self.param("W", _so3conv_kernel_init, (K, C, self.dim_out))
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        out = intra_conv_accumulate(x.feats, trace_idx, W, cdt)
         return SpherePoints(x.xyz, out, x.pose)
