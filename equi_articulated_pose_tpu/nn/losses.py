@@ -1,0 +1,81 @@
+"""Classification / attention-regularisation losses.
+
+Re-implementation of ``vgtk/vgtk/loss.py`` (CrossEntropyLoss[PerP]
+:18-49, AttentionCrossEntropyLoss :51-93, MultiTaskDetectionLoss :113+) and
+the purity loss of ``SPConvNets/models/common_utils.py:67``.  All jittable;
+the schedule counter is passed in as ``step`` rather than mutated.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geom.so3 import quat_to_matrix, ortho6d_to_matrix, rotation_angle
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray):
+    """logits [..., C], labels [...] int -> (mean loss, accuracy)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    return nll.mean(), acc
+
+
+def attention_cross_entropy(
+    cls_logits: jnp.ndarray,
+    cls_labels: jnp.ndarray,
+    anchor_logits: jnp.ndarray,
+    anchor_labels: jnp.ndarray,
+    *,
+    loss_type: str = "no_reg",
+    margin: float = 1.0,
+    step: Optional[jnp.ndarray] = None,
+    pretrain_step: int = 2000,
+):
+    """Classification + anchor-orbit regulariser
+    (ref AttentionCrossEntropyLoss).  Returns
+    (loss, cls_loss, r_loss, acc, r_acc)."""
+    cls_loss, acc = cross_entropy(cls_logits, cls_labels)
+    r_loss, r_acc = cross_entropy(anchor_logits, anchor_labels)
+    if loss_type == "schedule":
+        w = jnp.clip((step if step is not None else 0) / pretrain_step, 0.0, 1.0)
+        loss = w * cls_loss + (margin + 1.0 - w) * r_loss
+    elif loss_type == "default":
+        loss = cls_loss + margin * r_loss
+    elif loss_type == "no_reg":
+        loss = cls_loss
+    else:
+        raise NotImplementedError(loss_type)
+    return loss, cls_loss, r_loss, acc, r_acc
+
+
+def multitask_detection_loss(
+    anchor_logits: jnp.ndarray,   # [B, A] orbit classification logits
+    pose_raw: jnp.ndarray,        # [B, A, nr] per-anchor quat/ortho6d residual
+    gt_R: jnp.ndarray,            # [B, 3, 3]
+    gt_label: jnp.ndarray,        # [B] ground-truth anchor index
+    anchors: jnp.ndarray,         # [A, 3, 3]
+    w: float = 10.0,
+):
+    """Detection-style rotation loss (ref MultiTaskDetectionLoss): anchor
+    classification + l2 on the residual rotation at the GT anchor.
+    Returns (loss, cls_loss, reg_loss, angular_error_deg)."""
+    cls_loss, acc = cross_entropy(anchor_logits, gt_label)
+    nr = pose_raw.shape[-1]
+    mapping = quat_to_matrix if nr == 4 else ortho6d_to_matrix
+    R_res = mapping(pose_raw)                                  # [B, A, 3, 3]
+    pred_R = jnp.einsum("aij,bajk->baik", anchors, R_res)
+    sel = jnp.take_along_axis(pred_R, gt_label[:, None, None, None], axis=1)[:, 0]
+    reg = jnp.mean(jnp.sum((sel - gt_R) ** 2, axis=(-1, -2)))
+    ang = jnp.mean(rotation_angle(sel, gt_R)) * 180.0 / jnp.pi
+    return cls_loss + w * reg, cls_loss, reg, ang
+
+
+def purity_loss(attn: jnp.ndarray, eps: float = 1e-8):
+    """Encourage confident (low-entropy over slots) point assignments
+    (ref common_utils.py:67)."""
+    p = attn / jnp.clip(attn.sum(1, keepdims=True), eps)       # [B, S, N]
+    ent = -jnp.sum(p * jnp.log(jnp.clip(p, eps)), axis=1)      # [B, N]
+    return ent.mean()

@@ -85,7 +85,11 @@ def ball_query(
     # Key: index when valid else N (pushed past every valid index).
     key = jnp.where(in_ball, jnp.arange(N, dtype=jnp.int32)[None, None, :], N)
     # Smallest n_sample keys == first valid indices in order.
-    neg_topk = jax.lax.top_k(-key, n_sample)[0]
+    k = min(n_sample, N)
+    neg_topk = jax.lax.top_k(-key, k)[0]
+    if k < n_sample:  # fewer support points than requested: pad by tiling
+        reps = -(-n_sample // k)
+        neg_topk = jnp.tile(neg_topk, (1, 1, reps))[..., :n_sample]
     idx = (-neg_topk).astype(jnp.int32)  # ascending
     first = idx[..., :1]
     idx = jnp.where(idx >= N, first, idx)
