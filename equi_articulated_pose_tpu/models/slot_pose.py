@@ -192,6 +192,7 @@ class SlotPoseModel(nn.Module):
         x_list: Optional[jnp.ndarray] = None,      # [S, B, N, 3]
         hard_label: Optional[jnp.ndarray] = None,  # [B, N]
         slot_rng: Optional[jax.Array] = None,
+        axis_prior: Optional[jnp.ndarray] = None,  # [S, 3] (slot_single_mode=0)
     ) -> dict[str, Any]:
         c = self.cfg
         B, N, _ = xyz.shape
@@ -270,10 +271,20 @@ class SlotPoseModel(nn.Module):
         )
 
         # --- orbit selection -------------------------------------------------
+        sel_axes = None
         if c.slot_single_mode:
             total = jnp.sum(orbit_cost, axis=1)                     # [B, A]
             orbit = jnp.argmin(total, axis=-1)                      # [B]
             slot_orbits = jnp.broadcast_to(orbit[:, None], (B, S))
+        elif axis_prior is not None and S > 1:
+            from .orbit_select import select_slot_orbits_axis_prior
+
+            slot_weights = slot_counts / jnp.clip(
+                slot_counts.sum(-1, keepdims=True), 1e-8
+            )
+            slot_orbits, sel_axes = select_slot_orbits_axis_prior(
+                orbit_cost, slot_R, axis_prior, slot_weights
+            )
         else:
             slot_orbits = jnp.argmin(orbit_cost, axis=-1)           # [B, S]
 
@@ -347,6 +358,7 @@ class SlotPoseModel(nn.Module):
             "real_defined_axis": real_axis,
             "base_slot": base_slot,
             "x_next": x_next,
+            "selected_pair_axes": sel_axes,
         }
 
     # ------------------------------------------------------------------
