@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""CLI entry point — the analog of the reference's
+``run_unsup_arti_align.py`` + ``scripts/train/*.sh`` recipes.
+
+Examples:
+    # stage 0 (global alignment) then stage 1 for the oven recipe
+    python run.py train --category oven --stage 0 --steps 2000
+    python run.py train --category oven --stage 1 --steps 20000 \
+        --resume-glb ckpt/oven_stage0.msgpack
+
+    # two-pass evaluation with RANSAC delta fitting
+    python run.py eval --category oven --ckpt ckpt/oven_stage1.msgpack
+
+    # quick synthetic-data smoke run (no external data needed)
+    python run.py train --category oven --dataset synthetic --steps 50
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--category", default="oven",
+                        help="preset name (oven, washing_machine, laptop, safe,"
+                             " eyeglasses, drawer, laptop_partial, laptop_hoi4d)")
+        sp.add_argument("--dataset", default=None,
+                        help="override dataset_type (synthetic | motion | "
+                             "motion_partial | hoi4d | sapien)")
+        sp.add_argument("--data-path", default="./data")
+        sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--ckpt-dir", default="./ckpt")
+        sp.add_argument("--compute-dtype", default=None,
+                        help="float32 | bfloat16")
+        sp.add_argument("--chunk-a", type=int, default=None)
+
+    t = sub.add_parser("train")
+    common(t)
+    t.add_argument("--stage", type=int, default=1, choices=(0, 1))
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--lr", type=float, default=None)
+    t.add_argument("--resume", default=None)
+    t.add_argument("--resume-glb", default=None,
+                   help="stage-0 checkpoint for frozen pre-alignment")
+    t.add_argument("--no-global-rot", action="store_true")
+
+    e = sub.add_parser("eval")
+    common(e)
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--ckpt-glb", default=None)
+    e.add_argument("--max-batches", type=int, default=50)
+    return p
+
+
+def _make_cfg(args):
+    from equi_articulated_pose_tpu.config import get_config
+
+    cfg = get_config(args.category)
+    data_kw = {"dataset_path": args.data_path}
+    if args.dataset:
+        data_kw["dataset_type"] = args.dataset
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, **data_kw), model_dir=args.ckpt_dir
+    )
+    model_kw = {}
+    if args.compute_dtype:
+        model_kw["compute_dtype"] = args.compute_dtype
+    if args.chunk_a is not None:
+        model_kw["chunk_a"] = args.chunk_a
+    if model_kw:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
+    train_kw = {}
+    if args.batch_size:
+        train_kw["batch_size"] = args.batch_size
+    if getattr(args, "lr", None):
+        train_kw["init_lr"] = args.lr
+    if getattr(args, "steps", None):
+        train_kw["num_iterations"] = args.steps
+    if getattr(args, "no_global_rot", False):
+        train_kw["global_rot"] = False
+    if train_kw:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+    return cfg
+
+
+def main():
+    args = build_argparser().parse_args()
+    cfg = _make_cfg(args)
+
+    if args.cmd == "train":
+        import jax
+
+        from equi_articulated_pose_tpu.train import Trainer
+        from equi_articulated_pose_tpu.train.checkpoint import save_checkpoint
+
+        tr = Trainer(cfg, stage=args.stage)
+        # datasets via loader are built in the trainer; resume options:
+        if args.resume_glb:
+            tr.load_glb(args.resume_glb)
+        params = None
+        if args.resume:
+            first = next(iter(tr.loader))
+            tr.init_params(first)
+            tr.resume(args.resume)
+        params = tr.train(num_steps=cfg.train.num_iterations)
+        out = os.path.join(
+            cfg.model_dir, f"{cfg.data.shape_type}_stage{args.stage}.msgpack"
+        )
+        save_checkpoint(out, jax.device_get(params))
+        print(f"saved final checkpoint: {out}")
+
+    elif args.cmd == "eval":
+        import jax
+        import jax.numpy as jnp
+
+        from equi_articulated_pose_tpu.eval.evaluator import Evaluator
+        from equi_articulated_pose_tpu.data import DataLoader, build_dataset
+        from equi_articulated_pose_tpu.models import GlobalAlignModel, SlotPoseModel
+        from equi_articulated_pose_tpu.train.checkpoint import load_checkpoint
+
+        model = SlotPoseModel(cfg=cfg.model)
+        xyz = jnp.zeros((1, cfg.model.input_num, 3))
+        tgt = jax.jit(model.init)(jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1))
+        params = load_checkpoint(args.ckpt, tgt)
+        glb_model = glb_params = None
+        if args.ckpt_glb:
+            glb_model = GlobalAlignModel(cfg=cfg.model)
+            gt = jax.jit(glb_model.init)(jax.random.PRNGKey(0), xyz)
+            glb_params = load_checkpoint(args.ckpt_glb, gt)
+        ev = Evaluator(cfg, model, params, glb_model, glb_params)
+
+        canon = build_dataset(cfg.data, split="train", canonical_input=True)
+        deltas = ev.fit_deltas(
+            DataLoader(canon, cfg.train.batch_size, shuffle=False, prefetch=0),
+            jax.random.PRNGKey(0),
+            args.max_batches,
+        )
+        test = build_dataset(cfg.data, split="test")
+        metrics = ev.evaluate(
+            DataLoader(test, cfg.train.batch_size, shuffle=False, prefetch=0),
+            deltas,
+            args.max_batches,
+        )
+        for k in sorted(metrics):
+            print(f"{k}: {metrics[k]:.4f}")
+
+
+if __name__ == "__main__":
+    main()
