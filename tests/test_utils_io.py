@@ -1,0 +1,50 @@
+"""PLY IO, augmentation, profiling-artifact utilities."""
+import numpy as np
+
+from equi_articulated_pose_tpu.data.ply import load_ply, save_ply
+from equi_articulated_pose_tpu.data.augmentation import (
+    jitter_point_cloud,
+    radius_neighbors,
+    random_dropout,
+    rotate_point_cloud,
+    uniform_resample_index,
+)
+from equi_articulated_pose_tpu.utils.profiling import load_artifacts, save_artifacts
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.randn(50, 3).astype(np.float32)
+    p = str(tmp_path / "x.ply")
+    save_ply(p, pts)
+    back = load_ply(p)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+    save_ply(p, pts, colors=np.full((50, 3), 128, np.uint8))
+    back = load_ply(p)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_augmentations(rng):
+    pc = rng.randn(100, 3)
+    out, R = rotate_point_cloud(pc, rng)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), np.linalg.norm(pc, axis=-1), atol=1e-8
+    )
+    _, Ra = rotate_point_cloud(pc, rng, mode="anchor")
+    j = jitter_point_cloud(pc, rng, sigma=0.01, clip=0.02)
+    assert np.abs(j - pc).max() <= 0.02 + 1e-9
+    d = random_dropout(pc, rng)
+    assert d.shape == pc.shape
+    idx = uniform_resample_index(pc, 40, rng)
+    assert idx.shape == (40,)
+    nb = radius_neighbors(pc, pc[:5], 0.8, max_k=8)
+    assert nb.shape == (5, 8)
+
+
+def test_artifacts_roundtrip(tmp_path, rng):
+    arrays = {"a": rng.randn(4, 3).astype(np.float32), "b": np.arange(5)}
+    p = str(tmp_path / "art.npz")
+    save_artifacts(p, arrays)
+    back = load_artifacts(p)
+    np.testing.assert_allclose(back["a"], arrays["a"])
+    np.testing.assert_array_equal(back["b"], arrays["b"])
