@@ -50,7 +50,8 @@ def test_anchor_interp_identity():
     feats = jnp.asarray(np.random.RandomState(0).randn(2, 5, 60, 4).astype(np.float32))
     out = anchor_prop(feats, idx, w)
     assert out.shape == feats.shape
-    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-4)
+    # self weight is ~0.9997 (inverse-distance softening), not exactly 1
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=2e-3)
 
 
 def test_intra_2d(rng):
