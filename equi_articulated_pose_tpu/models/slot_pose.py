@@ -362,10 +362,18 @@ class SlotPoseModel(nn.Module):
         }
 
     # ------------------------------------------------------------------
-    def __call__(self, xyz: jnp.ndarray, rngs: Optional[jax.Array] = None):
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        rngs: Optional[jax.Array] = None,
+        axis_prior: Optional[jnp.ndarray] = None,
+    ):
         """Multi-iteration forward (ref ``forward``, :3335-3379).
 
-        Returns (loss, aux-dict of the last iteration).
+        Returns (loss, aux-dict of the last iteration).  With an
+        ``axis_prior`` (slot_single_mode=0) the aux dict carries
+        ``axis_prior_new`` — the sign-aligned EMA update to store in
+        train-state (ref update_slot_pair_axis_prior).
         """
         c = self.cfg
         loss = 0.0
@@ -377,9 +385,19 @@ class SlotPoseModel(nn.Module):
             if rngs is not None:
                 rng = jax.random.fold_in(rngs, it)
             out = self.forward_one_iter(
-                xyz, x_list=x_list, hard_label=hard_label, slot_rng=rng
+                xyz,
+                x_list=x_list,
+                hard_label=hard_label,
+                slot_rng=rng,
+                axis_prior=axis_prior,
             )
             loss = loss + out["loss"]
             x_list = out["x_next"]
             hard_label = out["hard_labels"]
+        if axis_prior is not None and out["selected_pair_axes"] is not None:
+            from .orbit_select import update_axis_prior
+
+            out["axis_prior_new"] = update_axis_prior(
+                axis_prior, jax.lax.stop_gradient(out["selected_pair_axes"])
+            )
         return loss / c.num_iters, out

@@ -74,6 +74,43 @@ def make_dp_train_step(
     return step
 
 
+def make_dp_train_step_with_state(
+    loss_fn: Callable[..., tuple],
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+):
+    """Like make_dp_train_step but threads an auxiliary replicated state
+    (e.g. the axis-prior EMA): loss_fn(params, state, batch, rng) ->
+    (loss, (metrics, new_state)).  new_state is pmean'd across devices."""
+
+    def _local_step(params, state, opt_state, batch, rng):
+        rng = rng[0]
+
+        def lf(p):
+            loss, (metrics, new_state) = loss_fn(p, state, batch, rng)
+            return loss, (metrics, new_state)
+
+        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+            lf, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, axis_name)
+        metrics = jax.lax.pmean({**metrics, "loss": loss}, axis_name)
+        new_state = jax.lax.pmean(new_state, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, new_state, opt_state, metrics
+
+    sharded = shard_map(
+        _local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_dp_eval_step(apply_fn: Callable, mesh: Mesh, axis_name: str = DATA_AXIS):
     sharded = shard_map(
         lambda params, batch: apply_fn(params, batch),

@@ -101,7 +101,7 @@ class Trainer:
         self.log.info(f"resumed {n} tensors from {path}")
 
     # ------------------------------------------------------------------
-    def _loss_fn(self, params, batch, rng):
+    def _loss_fn(self, params, batch, rng, axis_prior=None):
         xyz = batch["pc"]
         if self.stage == 0:
             out = self.model.apply(params, xyz)
@@ -111,7 +111,7 @@ class Trainer:
         if self.glb_params is not None and self.cfg.train.global_rot:
             g = self.glb_model.apply(jax.lax.stop_gradient(self.glb_params), xyz)
             xyz = jax.lax.stop_gradient(g["inv_pts"])
-        loss, out = self.model.apply(params, xyz, rng)
+        loss, out = self.model.apply(params, xyz, rng, axis_prior)
         metrics = {
             "glb_loss": out["glb_loss"],
             "slot_loss": out["slot_loss"],
@@ -124,12 +124,28 @@ class Trainer:
         gt_onehot = jax.nn.one_hot(batch["label"], P).transpose(0, 2, 1)
         iou, _ = matched_seg_iou(pred_onehot, gt_onehot)
         metrics["iou"] = jax.lax.stop_gradient(iou.mean())
+        if axis_prior is not None:
+            return loss, (metrics, out.get("axis_prior_new", axis_prior))
         return loss, metrics
 
+    @property
+    def _uses_axis_prior(self) -> bool:
+        return self.stage == 1 and not self.cfg.model.slot_single_mode
+
     def _build_step(self):
-        self._step_fn = make_dp_train_step(
-            self._loss_fn, self.optimizer, self.mesh, DATA_AXIS
-        )
+        if self._uses_axis_prior:
+            from ..parallel.dp import make_dp_train_step_with_state
+
+            self._step_fn = make_dp_train_step_with_state(
+                lambda p, st, b, r: self._loss_fn(p, b, r, axis_prior=st),
+                self.optimizer,
+                self.mesh,
+                DATA_AXIS,
+            )
+        else:
+            self._step_fn = make_dp_train_step(
+                self._loss_fn, self.optimizer, self.mesh, DATA_AXIS
+            )
 
     # ------------------------------------------------------------------
     def train(self, num_steps: Optional[int] = None):
@@ -143,6 +159,12 @@ class Trainer:
             self._build_step()
         params = replicate(self.params, self.mesh)
         opt_state = replicate(self.opt_state, self.mesh)
+        axis_prior = None
+        if self._uses_axis_prior:
+            axis_prior = replicate(
+                jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (self.cfg.model.nmasks, 1)),
+                self.mesh,
+            )
 
         timer = Timer()
         batch = first
@@ -153,7 +175,14 @@ class Trainer:
             )
             self.rng, sub = jax.random.split(self.rng)
             rngs = per_device_rngs(sub, self.mesh)
-            params, opt_state, metrics = self._step_fn(params, opt_state, sb, rngs)
+            if self._uses_axis_prior:
+                params, axis_prior, opt_state, metrics = self._step_fn(
+                    params, axis_prior, opt_state, sb, rngs
+                )
+            else:
+                params, opt_state, metrics = self._step_fn(
+                    params, opt_state, sb, rngs
+                )
             step += 1
             if step % cfg.train.log_freq == 0 or step == 1:
                 m = jax.device_get(metrics)
@@ -168,6 +197,7 @@ class Trainer:
 
         self.params = params
         self.opt_state = opt_state
+        self.axis_prior = axis_prior
         return params
 
     def save(self, params, step: int):

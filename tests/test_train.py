@@ -68,3 +68,16 @@ def test_checkpoint_roundtrip_and_safe_load(tmp_path):
         np.testing.assert_allclose(x, y)
     merged, n = safe_load_common(tr.params, restored)
     assert n == len(a)
+
+
+def test_stage1_axis_prior_training(tmp_path):
+    """slot_single_mode=0: the axis-prior EMA threads through the DP step."""
+    cfg = _cfg(tmp_path, 1)
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, slot_single_mode=False)
+    )
+    tr = Trainer(cfg, stage=1, mesh=make_mesh(2), log_dir=str(tmp_path))
+    tr.train(num_steps=2)
+    prior = np.asarray(jax.device_get(tr.axis_prior))
+    assert prior.shape == (cfg.model.nmasks, 3)
+    np.testing.assert_allclose(np.linalg.norm(prior, axis=-1), 1.0, atol=1e-5)
