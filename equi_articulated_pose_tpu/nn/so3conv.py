@@ -75,8 +75,9 @@ def intra_conv_accumulate(
     over the K=12 group-adjacent anchors — per step one static anchor
     permutation + one MXU matmul.  Peak memory [B, N, A, max(C, D)]."""
     out = None
+    fc = feats.astype(cdt)  # cast once; gathers then move half the bytes
     for k in range(trace_idx.shape[1]):
-        gk = feats[:, :, trace_idx[:, k], :].astype(cdt)  # [B, N, A, C]
+        gk = fc[:, :, trace_idx[:, k], :]  # [B, N, A, C]
         term = jnp.einsum(
             "bnac,cd->bnad", gk, W[k].astype(cdt),
             preferred_element_type=jnp.float32,
@@ -274,13 +275,15 @@ class InterSO3Conv(nn.Module):
                 preferred_element_type=jnp.float32,
             )
 
+        # Gathers dominate HBM traffic — do them at compute precision.
+        feats_c = feats.astype(cdt)
         if self.chunk_a and A > self.chunk_a and A % self.chunk_a == 0:
             # end-to-end anchor chunking: kernel weights, the fused
             # (neighbour, anchor) gather, and the contraction all live per
             # chunk, so nothing of size [B, M, nn, A, C] is ever resident.
             def chunk_fn(sl_anchors, sl_perm):
                 wc = inter_kernel_weights(grouped_xyz, sl_anchors, kernels, self.sigma)
-                gc = gather_neighbors_anchors(feats, ball_idx, sl_perm)
+                gc = gather_neighbors_anchors(feats_c, ball_idx, sl_perm)
                 return contract(gc, wc)
 
             chunk_fn = jax.checkpoint(chunk_fn)
@@ -299,9 +302,9 @@ class InterSO3Conv(nn.Module):
         else:
             w = inter_kernel_weights(grouped_xyz, anchors, kernels, self.sigma)
             if anchor_perm is not None:
-                grouped = gather_neighbors_anchors(feats, ball_idx, anchor_perm)
+                grouped = gather_neighbors_anchors(feats_c, ball_idx, anchor_perm)
             else:
-                grouped = group_points(feats, ball_idx)
+                grouped = group_points(feats_c, ball_idx)
             new_feats = contract(grouped, w)
         return SpherePoints(new_xyz, new_feats, new_pose)
 
