@@ -145,6 +145,7 @@ class SyntheticDataset:
         canonical_input: bool = False,
         seed: int = 0,
         density: float = 2000.0,
+        cache_base: bool = True,
     ):
         self.shape_type = shape_type
         self.split = split
@@ -156,6 +157,8 @@ class SyntheticDataset:
         self.rot_factor = rot_factor
         self.canonical_input = canonical_input
         self.density = density
+        self.cache_base = cache_base
+        self._base_cache: dict = {}
         base = seed + (0 if split == "train" else 10_000)
         self._shape_seeds = [base + i for i in range(n_shapes)]
 
@@ -168,10 +171,18 @@ class SyntheticDataset:
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         shape_idx, sample_idx = index // self.n_samples, index % self.n_samples
-        shape_rng = np.random.RandomState(self._shape_seeds[shape_idx])
-        verts, tris, tri_seg, joints = make_shape(self.shape_type, shape_rng)
         rng = np.random.RandomState(hash((self._shape_seeds[shape_idx], sample_idx)) % (2**31))
-        pts, seg = sample_points_on_mesh(verts, tris, tri_seg, rng, density=self.density)
+        if self.cache_base and shape_idx in self._base_cache:
+            pts, seg, joints = self._base_cache[shape_idx]
+        else:
+            shape_rng = np.random.RandomState(self._shape_seeds[shape_idx])
+            verts, tris, tri_seg, joints = make_shape(self.shape_type, shape_rng)
+            pts, seg = sample_points_on_mesh(
+                verts, tris, tri_seg, np.random.RandomState(self._shape_seeds[shape_idx]),
+                density=self.density,
+            )
+            if self.cache_base:
+                self._base_cache[shape_idx] = (pts, seg, joints)
         return build_sample(
             pts,
             seg,

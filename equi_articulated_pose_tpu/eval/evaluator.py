@@ -57,6 +57,25 @@ class Evaluator:
         self._fwd = jax.jit(self._forward)
 
     # ------------------------------------------------------------------
+    def _forward_full_iou(self, params, xyz, gt_label, oorr_pc, oorr_label,
+                          num_parts: int | None = None):
+        """Full-resolution (4096-pt) segmentation IoU: transfer predicted
+        labels to the dense cloud by nearest neighbour (the reference's
+        full-point IoU variant, trainer:2180-2210)."""
+        from ..ops.sampling import pairwise_sqdist
+
+        out = self._forward(params, xyz, gt_label, num_parts)
+        d2 = pairwise_sqdist(oorr_pc, xyz)                 # [B, No, N]
+        nn = jnp.argmin(d2, axis=-1)
+        full_pred = jnp.take_along_axis(out["labels"], nn, axis=1)  # [B, No]
+        S = self.cfg.model.nmasks
+        P = self.cfg.model.nmasks if num_parts is None else num_parts
+        pred_oh = jax.nn.one_hot(full_pred, S).transpose(0, 2, 1)
+        gt_oh = jax.nn.one_hot(oorr_label, P).transpose(0, 2, 1)
+        iou_full, _ = matched_seg_iou(pred_oh, gt_oh)
+        out["iou_full"] = iou_full
+        return out
+
     def _forward(self, params, xyz, gt_label, num_parts: int | None = None):
         """Run (glb ∘ slot) model; match slots to GT; emit world-frame poses.
 
@@ -142,15 +161,19 @@ class Evaluator:
     ) -> Dict[str, float]:
         """Pass 2: delta-corrected per-part metrics on the posed test split."""
         per_rot, per_trans, per_axis, per_iou, per_cl1 = [], [], [], [], []
-        per_relrot, per_pv = [], []
+        per_relrot, per_pv, per_iou_full = [], [], []
+        fwd_full = jax.jit(self._forward_full_iou)
         for i, batch in enumerate(test_loader):
             if i >= max_batches:
                 break
-            out = self._fwd(
+            out = fwd_full(
                 self.params,
                 jnp.asarray(batch["pc"]),
                 jnp.asarray(batch["label"]),
+                jnp.asarray(batch["oorr_pc"]),
+                jnp.asarray(batch["oorr_label"]),
             )
+            per_iou_full.append(np.asarray(out["iou_full"]))
             R_pred = np.asarray(out["R_pred"])          # [B, P, 3, 3]
             if deltas is not None:
                 dR, dT = deltas
@@ -197,6 +220,7 @@ class Evaluator:
         relrot = np.concatenate(per_relrot, 0)
         metrics = {
             "seg_iou": float(np.mean(np.concatenate(per_iou))),
+            "seg_iou_full": float(np.mean(np.concatenate(per_iou_full))),
             "chamfer_l1": float(np.mean(np.concatenate(per_cl1))),
             "axis_err_deg_mean": float(np.mean(axis)),
             "axis_err_deg_median": float(np.median(axis)),
