@@ -231,16 +231,24 @@ class SlotPoseModel(nn.Module):
         else:
             slot_axis = jnp.zeros((B, S, A, 3)).at[..., 1].set(1.0)
 
+        # defined axis: slot 1's predicted axis (ref :2195, :2228)
+        defined_axis = slot_axis[:, min(1, S - 1)]              # [B, A, 3]
+
         # rotation matrices; base slot forced to identity (ref :2201-2203)
         if c.joint_type == "prismatic":
             R_mtx = jnp.broadcast_to(jnp.eye(3), (B, S, A, 3, 3))
+        elif c.representation == "angle":
+            # axis-angle about the shared predicted axis
+            # (ref compute_rotation_matrix_from_angle, model_utils.py:1000+)
+            angle = jax.nn.sigmoid(raw_R[..., 0]) * jnp.pi * c.rot_angle_factor
+            ax = jnp.broadcast_to(defined_axis[:, None], (B, S, A, 3))
+            R_mtx = so3g.axis_angle_to_matrix(ax, angle)
+            eye = jnp.broadcast_to(jnp.eye(3), R_mtx.shape)
+            R_mtx = jnp.where(is_base[:, :, None, None, None] > 0.5, eye, R_mtx)
         else:
             R_mtx = so3g.quat_to_matrix(raw_R)                  # [B,S,A,3,3]
             eye = jnp.broadcast_to(jnp.eye(3), R_mtx.shape)
             R_mtx = jnp.where(is_base[:, :, None, None, None] > 0.5, eye, R_mtx)
-
-        # defined axis: slot 1's predicted axis (ref :2195, :2228)
-        defined_axis = slot_axis[:, min(1, S - 1)]              # [B, A, 3]
 
         # anchor composition (ref :2466-2468)
         slot_R = jnp.einsum("aij,bsajk->bsaik", anchors, R_mtx)

@@ -89,3 +89,17 @@ def test_stage1_multi_iter(cloud):
     params = model.init(jax.random.PRNGKey(7), cloud, jax.random.PRNGKey(8))
     loss, out = model.apply(params, cloud, jax.random.PRNGKey(9))
     assert np.isfinite(float(loss))
+
+
+def test_stage1_angle_representation(cloud):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, representation="angle", pred_axis=True)
+    model = SlotPoseModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(20), cloud, jax.random.PRNGKey(21))
+    loss, out = model.apply(params, cloud, jax.random.PRNGKey(22))
+    assert np.isfinite(float(loss))
+    RtR = jnp.einsum("bsij,bskj->bsik", out["pred_R"], out["pred_R"])
+    np.testing.assert_allclose(
+        np.asarray(RtR), np.tile(np.eye(3), (2, CFG.nmasks, 1, 1)), atol=1e-4
+    )
