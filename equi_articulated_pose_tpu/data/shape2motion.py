@@ -43,6 +43,7 @@ class MotionDataset:
         canonical_input: bool = False,
         train_ratio: float = 0.9,
         seed: int = 0,
+        split_file: str | None = None,
     ):
         self.shape_root = os.path.join(root, shape_type)
         self.shape_type = shape_type
@@ -61,8 +62,24 @@ class MotionDataset:
             d for d in os.listdir(self.shape_root)
             if not d.startswith(".") and os.path.isdir(os.path.join(self.shape_root, d))
         )
-        n_train = int(len(ids) * train_ratio)
-        self.shape_ids = ids[:n_train] if split == "train" else ids[n_train:]
+        if split_file is not None:
+            # explicit id list (the MotionDataset2/MDV02 alternate-split
+            # mechanism, SURVEY.md S4): json {"train": [...], "test": [...]}
+            # or a plain text file of ids for this split
+            import json as _json
+
+            with open(split_file) as fh:
+                content = fh.read()
+            try:
+                mapping = _json.loads(content)
+                listed = mapping[split]
+            except (ValueError, KeyError):
+                listed = [l.strip() for l in content.splitlines() if l.strip()]
+            keep = set(map(str, listed))
+            self.shape_ids = [i for i in ids if i in keep]
+        else:
+            n_train = int(len(ids) * train_ratio)
+            self.shape_ids = ids[:n_train] if split == "train" else ids[n_train:]
         self._cache: dict = {}
 
     @property
