@@ -47,6 +47,7 @@ class ModelConfig:
     slot_single_mode: bool = True
     sel_mode_trans: Optional[int] = None
     use_art_mode: bool = False
+    use_2d: bool = False                 # product-anchor (60x4) backbone
     with_part_proposal: bool = True
     rel_for_points: bool = False
     permute_modes: int = 1
@@ -127,6 +128,9 @@ PRESETS: dict[str, Config] = {
     # use_equi=39: drawer, prismatic, 4 slots
     "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
                    dataset_type="sapien"),
+    # drawer with the 2D product-anchor backbone (ref --use-2d=1)
+    "drawer_2d": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
+                      dataset_type="sapien", use_2d=True),
     # partial-view / real-scan variants
     "laptop_partial": _cfg("laptop", nmasks=2, input_num=512,
                            dataset_type="motion_partial"),

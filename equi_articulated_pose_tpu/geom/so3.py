@@ -180,6 +180,11 @@ def get_anchors(k: int = 60) -> np.ndarray:
         return ANCHORS.reshape(20, 3, 3, 3)[:, :2].reshape(-1, 3, 3)
     if k == 60:
         return ANCHORS
+    if k == 240:
+        # product anchors for the 2D (azimuthal) variants: R_a @ C4_z
+        # (ref PointnetSO3ConvOurs.tot_anchors, base_so3conv.py:1153+)
+        c4 = get_c4_y_anchors()
+        return np.einsum("aij,zjk->azik", ANCHORS, c4).reshape(-1, 3, 3)
     raise ValueError(f"unsupported anchor count {k}")
 
 

@@ -100,6 +100,7 @@ class SlotPoseModel(nn.Module):
         specs = make_backbone_specs(
             c.mlps,
             kanchor=c.kpconv_kanchor,
+            use_2d=c.use_2d,
             input_num=c.input_num,
             initial_radius_ratio=c.init_radius,
             input_radius=c.input_radius,
@@ -157,7 +158,9 @@ class SlotPoseModel(nn.Module):
                 pred_axis=c.pred_axis,
                 **head_kw,
             )
-        self.anchors_const = jnp.asarray(so3g.get_anchors(c.kpconv_kanchor))
+        self.anchors_const = jnp.asarray(
+            so3g.get_anchors(240 if c.use_2d else c.kpconv_kanchor)
+        )
 
     # ------------------------------------------------------------------
     def _encode(self, xyz, x_list=None, hard_label=None):
@@ -165,7 +168,7 @@ class SlotPoseModel(nn.Module):
         iterations: encode each slot's inverse-transformed cloud and select
         per point by the previous hard label (ref :1578-1615)."""
         B, N, _ = xyz.shape
-        A = self.cfg.kpconv_kanchor
+        A = 240 if self.cfg.use_2d else self.cfg.kpconv_kanchor
         pose = identity_pose(B, N)
         if x_list is None:
             x = self.backbone(preprocess_input(xyz, A, pose))
@@ -197,7 +200,7 @@ class SlotPoseModel(nn.Module):
         c = self.cfg
         B, N, _ = xyz.shape
         S = c.nmasks
-        A = self.cfg.kpconv_kanchor
+        A = 240 if c.use_2d else c.kpconv_kanchor
         M = c.part_pred_npoints
         anchors = self.anchors_const
 

@@ -48,6 +48,7 @@ class ConvBlockSpec:
     permute_modes: int = 1
     chunk_a: int = 0
     compute_dtype: str = "float32"
+    use_2d: bool = False        # product anchors (60x4 azimuthal) variant
 
 
 class InterSO3ConvBlock(nn.Module):
@@ -87,7 +88,13 @@ class SeparableSO3ConvBlock(nn.Module):
         s = self.spec
         skip_in = x.feats
         y = InterSO3ConvBlock(spec=s, axis_name=self.axis_name)(x)
-        if s.kanchor > 1:
+        if s.use_2d:
+            from .extras import IntraSO3Conv2D
+
+            z = IntraSO3Conv2D(dim_out=s.dim_out)(y)
+            f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(z.feats)
+            f = _act(s.activation)(f)
+        elif s.kanchor > 1 and s.kanchor != 240:
             z = IntraSO3Conv(dim_out=s.dim_out, compute_dtype=s.compute_dtype)(y)
             f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(z.feats)
             f = _act(s.activation)(f)
@@ -138,6 +145,7 @@ def make_backbone_specs(
     norm: str = "batch",
     chunk_a: int = 0,
     compute_dtype: str = "float32",
+    use_2d: bool = False,
 ) -> list[ConvBlockSpec]:
     """Reproduce the radius/sigma ladder of ``build_model``
     (ref ``unsup_..._40:3387-3582``).  Note the reference force-overrides
@@ -155,6 +163,9 @@ def make_backbone_specs(
     for s in strides[: len(mlps)]:
         sigmas.append(sigmas[-1] * s)
 
+    if use_2d:
+        kanchor = 240
+        use_pose = False
     block_type = "separable_block" if kanchor >= 60 else "inter_block"
     specs = []
     for i, block in enumerate(mlps):
@@ -176,6 +187,7 @@ def make_backbone_specs(
                     norm=norm,
                     chunk_a=chunk_a,
                     compute_dtype=compute_dtype,
+                    use_2d=use_2d,
                 )
             )
     return specs

@@ -103,3 +103,15 @@ def test_stage1_angle_representation(cloud):
     np.testing.assert_allclose(
         np.asarray(RtR), np.tile(np.eye(3), (2, CFG.nmasks, 1, 1)), atol=1e-4
     )
+
+
+def test_stage1_use_2d(cloud):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, use_2d=True, joint_type="prismatic", nmasks=3)
+    model = SlotPoseModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(30), cloud, jax.random.PRNGKey(31))
+    loss, out = model.apply(params, cloud, jax.random.PRNGKey(32))
+    assert np.isfinite(float(loss))
+    # orbit index ranges over the 240 product anchors
+    assert int(out["slot_orbits"].max()) < 240
