@@ -170,8 +170,11 @@ class SlotPoseModel(nn.Module):
         B, N, _ = xyz.shape
         A = 240 if self.cfg.use_2d else self.cfg.kpconv_kanchor
         pose = identity_pose(B, N)
+        seg = None
+        if self.cfg.use_art_mode and hard_label is not None:
+            seg = hard_label  # seg-aware art-mode convolution (ref :1561-1577)
         if x_list is None:
-            x = self.backbone(preprocess_input(xyz, A, pose))
+            x = self.backbone(preprocess_input(xyz, A, pose), seg)
         else:
             S = x_list.shape[0]  # [S, B, N, 3]
             flat = x_list.reshape(S * B, N, 3)

@@ -56,7 +56,7 @@ class InterSO3ConvBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: SpherePoints) -> SpherePoints:
+    def __call__(self, x: SpherePoints, seg=None) -> SpherePoints:
         s = self.spec
         y = InterSO3Conv(
             dim_out=s.dim_out,
@@ -70,7 +70,7 @@ class InterSO3ConvBlock(nn.Module):
             permute_modes=s.permute_modes,
             chunk_a=s.chunk_a,
             compute_dtype=s.compute_dtype,
-        )(x)
+        )(x, seg)
         f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(y.feats)
         f = _act(s.activation)(f)
         return SpherePoints(y.xyz, f, y.pose)
@@ -84,10 +84,10 @@ class SeparableSO3ConvBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: SpherePoints) -> SpherePoints:
+    def __call__(self, x: SpherePoints, seg=None) -> SpherePoints:
         s = self.spec
         skip_in = x.feats
-        y = InterSO3ConvBlock(spec=s, axis_name=self.axis_name)(x)
+        y = InterSO3ConvBlock(spec=s, axis_name=self.axis_name)(x, seg)
         if s.use_2d:
             from .extras import IntraSO3Conv2D
 
@@ -123,10 +123,10 @@ class SO3Backbone(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: SpherePoints) -> SpherePoints:
+    def __call__(self, x: SpherePoints, seg=None) -> SpherePoints:
         for i, s in enumerate(self.specs):
             cls = SeparableSO3ConvBlock if s.block_type == "separable_block" else InterSO3ConvBlock
-            x = cls(spec=s, axis_name=self.axis_name, name=f"block{i}")(x)
+            x = cls(spec=s, axis_name=self.axis_name, name=f"block{i}")(x, seg)
         return x
 
 

@@ -216,7 +216,13 @@ class InterSO3Conv(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: SpherePoints) -> SpherePoints:
+    def __call__(
+        self, x: SpherePoints, seg: Optional[jnp.ndarray] = None
+    ) -> SpherePoints:
+        """``seg`` [B, N] enables art-mode grouping: neighbours from OTHER
+        parts contribute their neighbourhood max-pooled feature instead of
+        their own (ref ``inter_so3poseconv_grouping_strided_arti_mode``,
+        ``so3conv/functional.py:2434-2442``)."""
         xyz, feats, pose = x.xyz, x.feats, x.pose
         B, N, A, C = feats.shape
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -277,13 +283,32 @@ class InterSO3Conv(nn.Module):
 
         # Gathers dominate HBM traffic — do them at compute precision.
         feats_c = feats.astype(cdt)
+
+        cross_part = None
+        if seg is not None:
+            # art-mode indicator: neighbour belongs to a different part.
+            # centre seg = seg of the first ball-query hit (the centre itself
+            # when query == support, which holds on the stride-1 active path)
+            M_ = ball_idx.shape[1]
+            nbr_seg = jnp.take_along_axis(
+                seg, ball_idx.reshape(B, -1), axis=1
+            ).reshape(B, M_, -1)
+            centre_seg = nbr_seg[..., 0]
+            cross_part = (nbr_seg != centre_seg[..., None])[..., None, None]
+
+        def _artmode(gc):
+            if cross_part is None:
+                return gc
+            pooled = jnp.max(gc, axis=2, keepdims=True)  # over neighbours
+            return jnp.where(cross_part, pooled, gc)
+
         if self.chunk_a and A > self.chunk_a and A % self.chunk_a == 0:
             # end-to-end anchor chunking: kernel weights, the fused
             # (neighbour, anchor) gather, and the contraction all live per
             # chunk, so nothing of size [B, M, nn, A, C] is ever resident.
             def chunk_fn(sl_anchors, sl_perm):
                 wc = inter_kernel_weights(grouped_xyz, sl_anchors, kernels, self.sigma)
-                gc = gather_neighbors_anchors(feats_c, ball_idx, sl_perm)
+                gc = _artmode(gather_neighbors_anchors(feats_c, ball_idx, sl_perm))
                 return contract(gc, wc)
 
             chunk_fn = jax.checkpoint(chunk_fn)
@@ -305,7 +330,7 @@ class InterSO3Conv(nn.Module):
                 grouped = gather_neighbors_anchors(feats_c, ball_idx, anchor_perm)
             else:
                 grouped = group_points(feats_c, ball_idx)
-            new_feats = contract(grouped, w)
+            new_feats = contract(_artmode(grouped), w)
         return SpherePoints(new_xyz, new_feats, new_pose)
 
 

@@ -115,3 +115,13 @@ def test_stage1_use_2d(cloud):
     assert np.isfinite(float(loss))
     # orbit index ranges over the 240 product anchors
     assert int(out["slot_orbits"].max()) < 240
+
+
+def test_stage1_art_mode(cloud):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, use_art_mode=True, num_iters=2)
+    model = SlotPoseModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(40), cloud, jax.random.PRNGKey(41))
+    loss, out = model.apply(params, cloud, jax.random.PRNGKey(42))
+    assert np.isfinite(float(loss))
