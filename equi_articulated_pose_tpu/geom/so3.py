@@ -214,13 +214,25 @@ import jax
 import jax.numpy as jnp
 
 
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Unit-normalise with a gradient that is finite at x == 0.
+
+    ``x / clip(norm(x))`` guards the forward but its BACKWARD is NaN at
+    exactly zero (d norm/dx = x/norm); rsqrt of the eps-shifted square sum is
+    smooth everywhere.  Zero inputs occur in practice (e.g. pose heads on
+    empty slots), so every normalisation on a learned quantity uses this.
+    """
+    return x * jax.lax.rsqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
+
+
 def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     """Unit-normalised quaternion (..., 4) [w, x, y, z] -> (..., 3, 3).
 
     Matches ``compute_rotation_matrix_from_quaternion`` (ref
     ``rotation.py:379-417``) semantics: input is normalised internally.
+    A zero quaternion maps (smoothly) to the identity.
     """
-    q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    q = safe_normalize(q)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     xx, yy, zz = x * x, y * y, z * z
     xy, xz, yz = x * y, x * z, y * z
@@ -235,16 +247,15 @@ def ortho6d_to_matrix(o: jnp.ndarray) -> jnp.ndarray:
     """6D rotation representation (..., 6) -> (..., 3, 3) via Gram-Schmidt
     (ref ``rotation.py:443-478``)."""
     a, b = o[..., :3], o[..., 3:]
-    x = a / jnp.clip(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-8)
-    z = jnp.cross(x, b)
-    z = z / jnp.clip(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
+    x = safe_normalize(a)
+    z = safe_normalize(jnp.cross(x, b))
     y = jnp.cross(z, x)
     return jnp.stack([x, y, z], -1)
 
 
 def axis_angle_to_matrix(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues. axis (..., 3) need not be normalised; angle (...,)."""
-    axis = axis / jnp.clip(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+    axis = safe_normalize(axis)
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zeros = jnp.zeros_like(x)
     K = jnp.stack(

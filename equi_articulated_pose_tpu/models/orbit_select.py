@@ -28,7 +28,9 @@ def _skew_axis(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    return ax / jnp.clip(jnp.linalg.norm(ax, axis=-1, keepdims=True), 1e-8)
+    from ..geom.so3 import safe_normalize
+
+    return safe_normalize(ax)
 
 
 def select_slot_orbits_axis_prior(

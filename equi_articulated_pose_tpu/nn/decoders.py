@@ -151,8 +151,9 @@ class DecoderFCAxis(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        ax = nn.Dense(3)(MLP(self.n_features)(x))
-        return ax / jnp.clip(jnp.linalg.norm(ax, axis=-1, keepdims=True), 1e-8)
+        from ..geom.so3 import safe_normalize
+
+        return safe_normalize(nn.Dense(3)(MLP(self.n_features)(x)))
 
 
 def cuboid_constraint_loss(points: jnp.ndarray, extents: jnp.ndarray, R: jnp.ndarray):

@@ -88,10 +88,9 @@ class SO3PoseHead(nn.Module):
         out["R"] = nn.Dense(rot_dim, name="rot_reg")(pooled)  # [B, A, rot_dim]
 
         if self.pred_axis:
-            ax = nn.Dense(3, name="axis_reg")(pooled)
-            out["axis"] = ax / jnp.clip(
-                jnp.linalg.norm(ax, axis=-1, keepdims=True), 1e-8
-            )
+            from ..geom.so3 import safe_normalize
+
+            out["axis"] = safe_normalize(nn.Dense(3, name="axis_reg")(pooled))
 
         if self.pred_pv_points:
             pv = jax.nn.sigmoid(nn.Dense(3, name="pv_reg")(pooled)) - 0.5
@@ -113,12 +112,11 @@ class SO3PoseHead(nn.Module):
             h = jax.nn.leaky_relu(h, 0.01)
             tdir = nn.Dense(3, name="tdense1")(h)  # [B, N, A, 3]
             if self.global_scalar:
+                from ..geom.so3 import safe_normalize
+
                 # scalar per point from anchor-max features (ref :539-541)
                 scal = nn.Dense(1, name="tscalar")(jnp.max(tsh, axis=2))  # [B,N,1]
-                tdir = (
-                    tdir
-                    / jnp.clip(jnp.linalg.norm(tdir, axis=-1, keepdims=True), 1e-8)
-                ) * scal[:, :, None, :]
+                tdir = safe_normalize(tdir) * scal[:, :, None, :]
             y_t = tdir
             if self.use_offset:
                 y_t = y_t + x.xyz[:, :, None, :]
@@ -148,8 +146,9 @@ class SO3PrismaticHead(nn.Module):
             feats = feats * mask[:, :, None, None]
         shared = _Tower(self.mlp, self.norm, self.axis_name)(feats)
         pooled = _masked_max_points(shared, mask)  # [B, A, C]
-        ax = nn.Dense(3, name="axis_reg")(pooled)
-        ax = ax / jnp.clip(jnp.linalg.norm(ax, axis=-1, keepdims=True), 1e-8)
+        from ..geom.so3 import safe_normalize
+
+        ax = safe_normalize(nn.Dense(3, name="axis_reg")(pooled))
         if proj_axis is not None:
             ax = jnp.broadcast_to(proj_axis[None, None], ax.shape)
         dist = nn.Dense(1, name="dist_reg")(pooled)  # [B, A, 1]
