@@ -75,9 +75,9 @@ def intra_conv_accumulate(
     over the K=12 group-adjacent anchors — per step one static anchor
     permutation + one MXU matmul.  Peak memory [B, N, A, max(C, D)]."""
     out = None
-    fc = feats.astype(cdt)  # cast once; gathers then move half the bytes
+    fc = feats  # gather in native dtype (bf16 gathers measured slower on v5e)
     for k in range(trace_idx.shape[1]):
-        gk = fc[:, :, trace_idx[:, k], :]  # [B, N, A, C]
+        gk = fc[:, :, trace_idx[:, k], :].astype(cdt)  # [B, N, A, C]
         term = jnp.einsum(
             "bnac,cd->bnad", gk, W[k].astype(cdt),
             preferred_element_type=jnp.float32,
@@ -281,8 +281,10 @@ class InterSO3Conv(nn.Module):
                 preferred_element_type=jnp.float32,
             )
 
-        # Gathers dominate HBM traffic — do them at compute precision.
-        feats_c = feats.astype(cdt)
+        # NOTE: gathering at bf16 was measured SLOWER on v5e than fp32
+        # gathers + post-cast (sublane packing makes 2-byte gathers worse),
+        # so features are gathered in their native dtype and cast in contract.
+        feats_c = feats
 
         cross_part = None
         if seg is not None:
