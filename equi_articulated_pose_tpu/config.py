@@ -143,4 +143,8 @@ PRESETS: dict[str, Config] = {
 
 
 def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise ValueError(
+            f"unknown category preset {name!r}; available: {sorted(PRESETS)}"
+        )
     return PRESETS[name]
