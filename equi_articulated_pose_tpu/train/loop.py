@@ -166,12 +166,17 @@ class Trainer:
                 self.mesh,
             )
 
+        # Only ship what the step consumes — the full sample dict includes
+        # dense eval-only arrays (oorr clouds, per-point poses) whose per-step
+        # host->device transfer dominates wall clock on relayed TPU setups.
+        step_keys = ("pc",) if self.stage == 0 else ("pc", "label", "pose_segs")
+
         timer = Timer()
         batch = first
         step = 0
         while step < num_steps:
             sb = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+                {k: jnp.asarray(batch[k]) for k in step_keys}, self.mesh
             )
             self.rng, sub = jax.random.split(self.rng)
             rngs = per_device_rngs(sub, self.mesh)
