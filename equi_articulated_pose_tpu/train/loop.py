@@ -188,6 +188,11 @@ class Trainer:
                 params, opt_state, metrics = self._step_fn(
                     params, opt_state, sb, rngs
                 )
+            # Synchronise every step: on relayed TPU backends an unbounded
+            # async dispatch queue degrades to seconds per step (measured
+            # 4.2s/step unblocked vs 0.07s/step blocked); the step itself is
+            # far faster than host data generation anyway.
+            jax.block_until_ready(metrics["loss"])
             step += 1
             if step % cfg.train.log_freq == 0 or step == 1:
                 m = jax.device_get(metrics)
