@@ -125,3 +125,29 @@ def test_stage1_art_mode(cloud):
     params = model.init(jax.random.PRNGKey(40), cloud, jax.random.PRNGKey(41))
     loss, out = model.apply(params, cloud, jax.random.PRNGKey(42))
     assert np.isfinite(float(loss))
+
+
+def test_stage0_loss_invariant_under_group_rotation(cloud):
+    """The stage-0 min-over-orbit chamfer loss must be invariant when the
+    input is rotated by a group element (the pipeline's core equivariance
+    property, end-to-end through backbone + head + orbit selection)."""
+    from equi_articulated_pose_tpu.geom import so3
+
+    model = GlobalAlignModel(cfg=CFG)
+    params = model.init(jax.random.PRNGKey(50), cloud)
+    out = model.apply(params, cloud)
+
+    g = 37
+    Rg = jnp.asarray(so3.ANCHORS[g])
+    rotated = jnp.einsum("ij,bnj->bni", Rg, cloud)
+    out_r = model.apply(params, rotated)
+    np.testing.assert_allclose(
+        np.asarray(out_r["per_sample_loss"]),
+        np.asarray(out["per_sample_loss"]),
+        rtol=2e-2, atol=1e-4,
+    )
+    # and the selected global rotation co-rotates: R' ≈ Rg @ R
+    want = jnp.einsum("ij,bjk->bik", Rg, out["glb_R"])
+    np.testing.assert_allclose(
+        np.asarray(out_r["glb_R"]), np.asarray(want), atol=5e-2
+    )
