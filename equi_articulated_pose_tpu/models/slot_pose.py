@@ -129,9 +129,11 @@ class SlotPoseModel(nn.Module):
             mlp=c.out_mlp, temperature=c.temperature, norm=c.norm,
             axis_name=self.axis_name, use_pointnet=True,
         )
-        # per-slot inv block over the slot's masked points (abs positions)
+        # per-slot inv block over the slot's masked points; abs vs relative
+        # coordinates per the rel_for_points flag (ref unsup_..._40:209)
         self.slot_outblock = _slot_vmap(
-            InvOutBlock, S, in_axes=(None, 0), use_abs_pos=True, **inv_kw
+            InvOutBlock, S, in_axes=(None, 0),
+            use_abs_pos=not c.rel_for_points, **inv_kw
         )
         # per-slot pair inv block over the whole cloud (ref overrides the pair
         # subset to the full cloud, unsup_..._40:1810-1811)
