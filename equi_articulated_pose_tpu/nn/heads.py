@@ -23,6 +23,12 @@ NEG_INF = -1e9
 
 
 class _Tower(nn.Module):
+    """Head MLP tower.  Leaky ReLU instead of the reference's ReLU: with a
+    masked input (empty/small slots) the all-ReLU tower was observed to die
+    completely during training (pooled features exactly 0 => residual quats
+    collapse to identity and the axis head to zero); the leak keeps gradients
+    alive."""
+
     mlp: Sequence[int]
     norm: str = "batch"
     axis_name: Optional[str] = None
@@ -32,16 +38,20 @@ class _Tower(nn.Module):
         for c in self.mlp:
             h = nn.Dense(c)(h)
             h = EquivNorm(kind=self.norm, axis_name=self.axis_name)(h)
-            h = jax.nn.relu(h)
+            h = jax.nn.leaky_relu(h, 0.01)
         return h
 
 
 def _masked_max_points(h: jnp.ndarray, mask: Optional[jnp.ndarray]):
-    """max over point axis with masked entries set to 0 (post-relu features,
-    matching the reference's zero-fill, model_utils.py:494-500)."""
-    if mask is not None:
-        h = h * mask[:, :, None, None]
-    return jnp.max(h, axis=1)  # [B, A, C]
+    """max over the point axis.  The reference zero-fills masked entries and
+    relies on ReLU non-negativity (model_utils.py:494-500); with leaky
+    activations we mask with -inf and fall back to 0 for empty slots."""
+    if mask is None:
+        return jnp.max(h, axis=1)  # [B, A, C]
+    m = mask[:, :, None, None] > 0.5
+    out = jnp.max(jnp.where(m, h, NEG_INF), axis=1)
+    nonempty = jnp.any(m, axis=1)
+    return jnp.where(nonempty, out, 0.0)
 
 
 class SO3PoseHead(nn.Module):
