@@ -58,18 +58,26 @@ def main():
     xyz = jnp.asarray(rng.randn(batch, cfg.input_num, 3).astype(np.float32) * 0.3)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), xyz[:1], jax.random.PRNGKey(1))
     tx = optax.adam(1e-4)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params["params"])
 
     @jax.jit
-    def train_step(params, opt_state, xyz, key):
-        def loss_fn(p):
-            loss, out = model.apply(p, xyz, key)
-            return loss, out["glb_loss"]
+    def train_step(variables, opt_state, xyz, key):
+        rest = {k: v for k, v in variables.items() if k != "params"}
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        params2 = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params2, opt_state2, loss
+        def loss_fn(p):
+            (loss, out), mstate = model.apply(
+                {"params": p, **rest}, xyz, key, mutable=["batch_stats"]
+            )
+            return loss, mstate
+
+        (loss, mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, opt_state2 = tx.update(grads, opt_state, variables["params"])
+        params2 = jax.tree_util.tree_map(
+            lambda p, u: p + u, variables["params"], updates
+        )
+        return {"params": params2, **mstate}, opt_state2, loss
 
     key = jax.random.PRNGKey(2)
     # compile + warmup

@@ -61,6 +61,13 @@ class DataLoader:
         for b in range(nb):
             chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
             yield collate([self.dataset[int(i)] for i in chunk])
+        tail = idx[nb * self.batch_size :]
+        if len(tail) and not self.drop_last:
+            # pad the ragged tail by repeating its first samples so batch
+            # shapes stay static (no recompilation); callers that must not
+            # double-count can mask by the true count
+            pad = np.resize(tail, self.batch_size)
+            yield collate([self.dataset[int(i)] for i in pad])
         self._epoch += 1
 
     def __iter__(self):

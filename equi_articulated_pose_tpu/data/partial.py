@@ -110,9 +110,13 @@ def make_partial(sample: Dict[str, np.ndarray], rng: np.random.RandomState,
 
 
 class _PartialMixin:
+    # fixed integer salt: str-hash seeding is randomized per process
+    # (PYTHONHASHSEED) and would make the view non-reproducible across runs
+    _VIEW_SALT = 0x9E3779B1
+
     def __getitem__(self, index):
         sample = super().__getitem__(index)  # type: ignore[misc]
-        rng = np.random.RandomState((hash((index, "partial")) % (2**31)))
+        rng = np.random.RandomState((index * 2654435761 + self._VIEW_SALT) % (2**31))
         return make_partial(sample, rng, self.npoints)
 
 

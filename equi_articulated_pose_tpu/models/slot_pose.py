@@ -82,7 +82,7 @@ def _slot_vmap(module_cls, num_slots: int, in_axes, **kwargs):
     """Per-slot unshared parameters via a leading slot axis."""
     return nn.vmap(
         module_cls,
-        variable_axes={"params": 0},
+        variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=in_axes,
         out_axes=0,

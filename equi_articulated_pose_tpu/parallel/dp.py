@@ -33,6 +33,17 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.device_put(batch, NamedSharding(mesh, P(axis_name)))
 
 
+def _split_variables(variables):
+    """Split a flax variables dict into (trainable params, other collections
+    such as batch_stats)."""
+    if "params" in variables:
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+    else:  # plain param tree (no collections)
+        params, rest = variables, {}
+    return params, rest
+
+
 def make_dp_train_step(
     loss_fn: Callable[..., tuple],
     optimizer,
@@ -40,24 +51,32 @@ def make_dp_train_step(
     axis_name: str = DATA_AXIS,
     donate: bool = True,
 ):
-    """loss_fn(params, batch, rng) -> (loss, metrics-dict).
+    """loss_fn(variables, batch, rng) -> (loss, (metrics-dict, model_state)).
 
-    Returns step(params, opt_state, batch, rng) -> (params, opt_state, metrics)
-    with batch sharded over ``axis_name`` and grads/metrics pmean'd.
+    ``variables`` is the full flax variables dict ({'params': ..., possibly
+    'batch_stats': ...}); ``model_state`` is the dict of updated non-param
+    collections (``{}`` when the model has none).  Gradients flow to the
+    'params' sub-tree only.  Returns step(variables, opt_state, batch, rng) ->
+    (variables, opt_state, metrics) with batch sharded over ``axis_name`` and
+    grads / metrics / model_state pmean'd (SyncBN semantics for batch_stats).
     """
 
-    def _local_step(params, opt_state, batch, rng):
+    def _local_step(variables, opt_state, batch, rng):
         rng = rng[0]  # undo the leading shard axis on the per-device key
+        params, rest = _split_variables(variables)
 
         def lf(p):
-            return loss_fn(p, batch, rng)
+            return loss_fn({"params": p, **rest}, batch, rng)
 
-        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+            lf, has_aux=True
+        )(params)
         grads = jax.lax.pmean(grads, axis_name)
         metrics = jax.lax.pmean({**metrics, "loss": loss}, axis_name)
+        new_state = jax.lax.pmean(new_state, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, opt_state, metrics
+        return {"params": params, **new_state}, opt_state, metrics
 
     sharded = shard_map(
         _local_step,
@@ -68,8 +87,8 @@ def make_dp_train_step(
     )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
-    def step(params, opt_state, batch, rngs):
-        return sharded(params, opt_state, batch, rngs)
+    def step(variables, opt_state, batch, rngs):
+        return sharded(variables, opt_state, batch, rngs)
 
     return step
 
@@ -81,25 +100,27 @@ def make_dp_train_step_with_state(
     axis_name: str = DATA_AXIS,
 ):
     """Like make_dp_train_step but threads an auxiliary replicated state
-    (e.g. the axis-prior EMA): loss_fn(params, state, batch, rng) ->
-    (loss, (metrics, new_state)).  new_state is pmean'd across devices."""
+    (e.g. the axis-prior EMA): loss_fn(variables, state, batch, rng) ->
+    (loss, (metrics, new_state, model_state)).  new_state and model_state
+    (non-param collections, e.g. batch_stats) are pmean'd across devices."""
 
-    def _local_step(params, state, opt_state, batch, rng):
+    def _local_step(variables, state, opt_state, batch, rng):
         rng = rng[0]
+        params, rest = _split_variables(variables)
 
         def lf(p):
-            loss, (metrics, new_state) = loss_fn(p, state, batch, rng)
-            return loss, (metrics, new_state)
+            return loss_fn({"params": p, **rest}, state, batch, rng)
 
-        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+        (loss, (metrics, new_state, model_state)), grads = jax.value_and_grad(
             lf, has_aux=True
         )(params)
         grads = jax.lax.pmean(grads, axis_name)
         metrics = jax.lax.pmean({**metrics, "loss": loss}, axis_name)
         new_state = jax.lax.pmean(new_state, axis_name)
+        model_state = jax.lax.pmean(model_state, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-        return params, new_state, opt_state, metrics
+        return {"params": params, **model_state}, new_state, opt_state, metrics
 
     sharded = shard_map(
         _local_step,

@@ -81,7 +81,7 @@ class Trainer:
             self.params = jax.jit(self._init_model.init)(
                 jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1)
             )
-        self.opt_state = self.optimizer.init(self.params)
+        self.opt_state = self.optimizer.init(self.params["params"])
         n_params = sum(
             np.prod(l.shape) for l in jax.tree_util.tree_leaves(self.params)
         )
@@ -104,14 +104,20 @@ class Trainer:
     def _loss_fn(self, params, batch, rng, axis_prior=None):
         xyz = batch["pc"]
         if self.stage == 0:
-            out = self.model.apply(params, xyz)
+            out, mstate = self.model.apply(
+                params, xyz, mutable=["batch_stats"]
+            )
             metrics = {"recon_l1": out["recon_l1"]}
-            return out["loss"], metrics
-        # stage 1: optional frozen pre-alignment (ref trainer:594-618)
+            return out["loss"], (metrics, mstate)
+        # stage 1: optional frozen pre-alignment (ref trainer:594-618).
+        # The frozen model runs in eval mode (running norm stats), matching
+        # the reference's glb_stage_model.eval().
         if self.glb_params is not None and self.cfg.train.global_rot:
             g = self.glb_model.apply(jax.lax.stop_gradient(self.glb_params), xyz)
             xyz = jax.lax.stop_gradient(g["inv_pts"])
-        loss, out = self.model.apply(params, xyz, rng, axis_prior)
+        (loss, out), mstate = self.model.apply(
+            params, xyz, rng, axis_prior, mutable=["batch_stats"]
+        )
         metrics = {
             "glb_loss": out["glb_loss"],
             "slot_loss": out["slot_loss"],
@@ -125,8 +131,12 @@ class Trainer:
         iou, _ = matched_seg_iou(pred_onehot, gt_onehot)
         metrics["iou"] = jax.lax.stop_gradient(iou.mean())
         if axis_prior is not None:
-            return loss, (metrics, out.get("axis_prior_new", axis_prior))
-        return loss, metrics
+            return loss, (
+                metrics,
+                out.get("axis_prior_new", axis_prior),
+                mstate,
+            )
+        return loss, (metrics, mstate)
 
     @property
     def _uses_axis_prior(self) -> bool:

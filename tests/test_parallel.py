@@ -47,11 +47,11 @@ def test_dp_step_matches_single_device_exactly():
     batch = {"pc": jnp.asarray(rng.randn(8, 32, 3).astype(np.float32))}
     params = init_net.init(jax.random.PRNGKey(0), batch["pc"][:1])
     tx = optax.sgd(1e-2)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params["params"])
 
     def loss_fn(p, b, r):
-        out = net.apply(p, b["pc"])
-        return jnp.mean(out**2), {"m": jnp.mean(out)}
+        out, mstate = net.apply(p, b["pc"], mutable=["batch_stats"])
+        return jnp.mean(out**2), ({"m": jnp.mean(out)}, mstate)
 
     step8 = make_dp_train_step(loss_fn, tx, mesh8, donate=False)
     step1 = make_dp_train_step(loss_fn, tx, mesh1, donate=False)
@@ -93,11 +93,11 @@ def test_dp_full_model_smoke():
         jax.random.PRNGKey(0), batch["pc"][:1], jax.random.PRNGKey(1)
     )
     tx = optax.adam(1e-4)
-    opt_state = tx.init(params)
+    opt_state = tx.init(params["params"])
 
     def loss_fn(p, b, r):
-        loss, out = model.apply(p, b["pc"], None)
-        return loss, {"glb": out["glb_loss"]}
+        (loss, out), mstate = model.apply(p, b["pc"], None, mutable=["batch_stats"])
+        return loss, ({"glb": out["glb_loss"]}, mstate)
 
     step = make_dp_train_step(loss_fn, tx, mesh, donate=False)
     p2, _, metrics = step(
