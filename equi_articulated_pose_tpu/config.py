@@ -40,6 +40,10 @@ class ModelConfig:
     pred_axis: bool = True
     pred_t: bool = True
     representation: str = "quat"
+    # derive slot translations from the predicted pivot/central points
+    # (T = R(c - pv) + pv, ref unsup_..._38:1193-1200); None = follow the
+    # representation ('angle' => True, the model-38 two-part path)
+    trans_from_pv: Optional[bool] = None
     glb_recon_factor: float = 1.0
     slot_recon_factor: float = 0.5
     glb_single_cd: bool = False
@@ -59,7 +63,9 @@ class ModelConfig:
 class TrainConfig:
     batch_size: int = 8
     init_lr: float = 1e-4
-    lr_type: str = "exp_decay"           # 'exp_decay' | 'constant'
+    # 'exp_decay' | 'step' (x rate every decay_step, ref --lr-adjust=2) |
+    # 'plateau' (ref --lr-adjust=1) | 'constant'
+    lr_type: str = "exp_decay"
     decay_rate: float = 0.7
     decay_step: int = 20000
     num_iterations: int = 1_000_000
@@ -110,6 +116,8 @@ def _cfg(shape_type: str, *, nmasks: int, input_num: int, joint_type="revolute",
             num_iters=num_iters,
             **model_kw,
         ),
+        # all shipped recipes use --lr-adjust=2 --n-dec-steps=1000 (x0.7)
+        train=TrainConfig(lr_type="step", decay_step=1000, decay_rate=0.7),
         data=DataConfig(shape_type=shape_type, npoints=input_num,
                         dataset_type=dataset_type,
                         partial="partial" in dataset_type),
@@ -117,28 +125,44 @@ def _cfg(shape_type: str, *, nmasks: int, input_num: int, joint_type="revolute",
 
 
 # Category presets — replicate scripts/train/*.sh flag sets (SURVEY.md S1/S2).
+# The use_equi=38 two-part categories use the angle-about-predicted-axis
+# representation with pivot-derived translations (the reference 38 model has
+# no quaternion path; scripts pass --translation=0).
 PRESETS: dict[str, Config] = {
-    # use_equi=38 two-part revolute categories
-    "oven": _cfg("oven", nmasks=2, input_num=380),
-    "washing_machine": _cfg("washing_machine", nmasks=2, input_num=512),
-    "laptop": _cfg("laptop", nmasks=2, input_num=512),
-    "safe": _cfg("safe", nmasks=2, input_num=512),
-    # use_equi=35: eyeglasses, 3 slots / 2 revolute joints
-    "eyeglasses": _cfg("eyeglasses", nmasks=3, input_num=512),
+    # use_equi=38 two-part revolute categories (scripts/train/{oven,
+    # washing_machine,laptop_syn,safe}.sh)
+    "oven": _cfg("oven", nmasks=2, input_num=380, representation="angle"),
+    "washing_machine": _cfg("washing_machine", nmasks=2, input_num=380,
+                            representation="angle"),
+    "laptop": _cfg("laptop", nmasks=2, input_num=512, num_iters=1,
+                   part_pred_npoints=256, representation="angle"),
+    "safe": _cfg("safe", nmasks=2, input_num=380, representation="angle",
+                 sel_mode_trans=18),
+    # use_equi=35: eyeglasses, 3 slots / 2 revolute joints, 2D product anchors
+    # (scripts/train/eyeglasses.sh: --use-2d=1 --num-iters=1)
+    "eyeglasses": _cfg("eyeglasses", nmasks=3, input_num=480, num_iters=1,
+                       part_pred_npoints=100, use_2d=True),
     # use_equi=39: drawer, prismatic, 4 slots
     "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
                    dataset_type="sapien"),
     # drawer with the 2D product-anchor backbone (ref --use-2d=1)
     "drawer_2d": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
                       dataset_type="sapien", use_2d=True),
-    # partial-view / real-scan variants
-    "laptop_partial": _cfg("laptop", nmasks=2, input_num=512,
-                           dataset_type="motion_partial"),
-    "laptop_hoi4d": _cfg("laptop", nmasks=2, input_num=512,
-                         dataset_type="hoi4d", recon_prior=9),
+    # partial-view / real-scan variants (scripts/train/partial_laptop_syn.sh,
+    # laptop_real.sh)
+    "laptop_partial": _cfg("laptop", nmasks=2, input_num=380, num_iters=1,
+                           dataset_type="motion_partial", recon_prior=9,
+                           representation="angle", sel_mode_trans=14),
+    "laptop_hoi4d": _cfg("laptop", nmasks=2, input_num=380,
+                         dataset_type="hoi4d", representation="angle"),
     "tiny": _cfg("oven", nmasks=2, input_num=64,
                  mlps=((16,), (32,)), out_mlp=(32,), num_iters=1,
-                 part_pred_npoints=16, glb_recon_npoints=32),
+                 part_pred_npoints=16, glb_recon_npoints=32,
+                 representation="angle"),
+    # quat-path twin of 'tiny' (the model-40 rotation branch) for tests
+    "tiny_quat": _cfg("oven", nmasks=2, input_num=64,
+                      mlps=((16,), (32,)), out_mlp=(32,), num_iters=1,
+                      part_pred_npoints=16, glb_recon_npoints=32),
 }
 
 

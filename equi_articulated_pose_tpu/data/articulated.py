@@ -120,8 +120,15 @@ def build_sample(
     common_R: Optional[np.ndarray] = None,
     canonical_input: bool = False,  # pre_compute_delta: emit canonical state
     noise_std: float = 0.0,
+    mesh=None,                      # (verts, tris, tri_seg) for partial views
+    partial_rng: Optional[np.random.RandomState] = None,
 ) -> Dict[str, np.ndarray]:
-    """Returns the reference sample dict (same keys, channels-last [N, 3])."""
+    """Returns the reference sample dict (same keys, channels-last [N, 3]).
+
+    With ``mesh`` + ``partial_rng``, the posed cloud is replaced by a
+    mesh-rasterized single-view partial scan (z-buffer over the posed
+    triangles, ref MotionDatasetPartial) with the same camera model; the
+    canonical/ori clouds stay complete, as in the reference."""
     P = len(joints)
 
     # bbox centralise + scale (ref :332-337)
@@ -249,22 +256,60 @@ def build_sample(
     if noise_std > 0:
         transformed = transformed + rng.normal(0.0, noise_std, transformed.shape)
 
-    # FPS to fixed sizes
+    # --- optional mesh-rasterized single-view partial scan ---------------
+    if mesh is not None and partial_rng is not None:
+        from .rasterize import rasterize_depth_points
+
+        verts, tris, tri_seg = mesh
+        vnorm = (np.asarray(verts, dtype=np.float64) - center_pt) / length_bb
+        tri_v = vnorm[np.asarray(tris)]                    # [T, 3, 3] canonical
+        Mseg = pose_segs[np.asarray(tri_seg)]              # [T, 4, 4] posed
+        tri_world = (
+            np.einsum("tij,tkj->tki", Mseg[:, :3, :3], tri_v)
+            + Mseg[:, None, :3, 3]
+        )
+        vis_pts, vis_lbl = rasterize_depth_points(
+            tri_world, np.asarray(tri_seg), partial_rng
+        )
+        if vis_pts.shape[0] >= 32:  # keep the complete cloud on degenerate views
+            transformed = vis_pts
+            point_seg = vis_lbl.astype(point_seg.dtype)
+            pose_pts = pose_segs[point_seg]
+
+    # FPS to fixed sizes.  canon/ori clouds may have a different point count
+    # than the (possibly partial) posed cloud -> independent FPS indices.
     fps_idx = fps_numpy(transformed, npoints)
+    if len(fps_idx) < npoints:
+        fps_idx = np.resize(fps_idx, npoints)
+    if canon_pts.shape[0] == transformed.shape[0]:
+        canon_fps = fps_idx
+    else:
+        canon_fps = fps_numpy(canon_pts, npoints)
+        if len(canon_fps) < npoints:
+            canon_fps = np.resize(canon_fps, npoints)
     oorr_n = min(OORR_NPOINTS, transformed.shape[0])
     fps_oorr = fps_numpy(transformed, oorr_n)
     # pad oorr to OORR_NPOINTS by repetition for fixed shapes
     if oorr_n < OORR_NPOINTS:
         reps = int(np.ceil(OORR_NPOINTS / oorr_n))
         fps_oorr = np.tile(fps_oorr, reps)[:OORR_NPOINTS]
+    if canon_pts.shape[0] == transformed.shape[0]:
+        canon_oorr = fps_oorr
+    else:
+        co_n = min(OORR_NPOINTS, canon_pts.shape[0])
+        canon_oorr = fps_numpy(canon_pts, co_n)
+        if co_n < OORR_NPOINTS:
+            canon_oorr = np.tile(
+                canon_oorr, int(np.ceil(OORR_NPOINTS / co_n))
+            )[:OORR_NPOINTS]
 
     f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
     return {
         "pc": f32(transformed[fps_idx]),
-        "ori_pc": f32(pts[fps_idx]),
-        "canon_pc": f32(canon_pts[fps_idx]),
+        "ori_pc": f32(pts[canon_fps]),
+        "canon_pc": f32(canon_pts[canon_fps]),
         "oorr_pc": f32(transformed[fps_oorr]),
-        "oorr_canon_pc": f32(canon_pts[fps_oorr]),
+        "oorr_canon_pc": f32(canon_pts[canon_oorr]),
         "label": point_seg[fps_idx].astype(np.int32),
         "oorr_label": point_seg[fps_oorr].astype(np.int32),
         "pose": f32(pose_pts[fps_idx]),

@@ -63,19 +63,59 @@ class HOI4DDataset:
     def __len__(self):
         return len(self.cases) * self.n_samples
 
+    @staticmethod
+    def _part_obj_names_from_result(folder: str):
+        """result.json hierarchy: part id -> list of obj names (ref
+        ``MotionHOIDataset.py:358-372``).  Returns None when absent."""
+        res_fn = os.path.join(folder, "result.json")
+        if not os.path.exists(res_fn):
+            return None
+        with open(res_fn) as fh:
+            res = json.load(fh)
+
+        part_to_objs: Dict[int, List[str]] = {}
+
+        def walk(node):
+            if "objs" in node:
+                part_to_objs[int(node["id"])] = list(node["objs"])
+            else:
+                for child in node.get("children", []):
+                    walk(child)
+
+        for frame in res if isinstance(res, list) else [res]:
+            walk(frame)
+        return part_to_objs
+
     def _load_case(self, case: str):
         if case in self._cache:
             return self._cache[case]
         folder = os.path.join(self.shape_root, case)
         objs = os.path.join(folder, "objs")
-        part_files = sorted(
-            f for f in os.listdir(objs) if f.endswith("_down_pts.npy")
-        )
+        part_to_objs = self._part_obj_names_from_result(folder)
         pts_list, seg_list = [], []
-        for i, f in enumerate(part_files):
-            p = np.load(os.path.join(objs, f), allow_pickle=True).astype(np.float64)
-            pts_list.append(p[:, :3])
-            seg_list.append(np.full(len(p), i, dtype=np.int64))
+        if part_to_objs:
+            # the reference path: one group of objs per part id
+            n_parts_found = len(part_to_objs)
+            for i, pid in enumerate(sorted(part_to_objs)):
+                chunks = [
+                    np.load(
+                        os.path.join(objs, name + "_down_pts.npy"),
+                        allow_pickle=True,
+                    ).astype(np.float64)[:, :3]
+                    for name in part_to_objs[pid]
+                ]
+                p = np.concatenate(chunks, axis=0)
+                pts_list.append(p)
+                seg_list.append(np.full(len(p), i, dtype=np.int64))
+            part_files = [str(pid) for pid in sorted(part_to_objs)]
+        else:
+            part_files = sorted(
+                f for f in os.listdir(objs) if f.endswith("_down_pts.npy")
+            )
+            for i, f in enumerate(part_files):
+                p = np.load(os.path.join(objs, f), allow_pickle=True).astype(np.float64)
+                pts_list.append(p[:, :3])
+                seg_list.append(np.full(len(p), i, dtype=np.int64))
         pts = np.concatenate(pts_list)
         seg = np.concatenate(seg_list)
 
@@ -110,8 +150,12 @@ class HOI4DDataset:
         case_idx, sample_idx = index // self.n_samples, index % self.n_samples
         case = self.cases[case_idx]
         pts, seg, joints = self._load_case(case)
+        import zlib
+
         rng = np.random.RandomState(
-            hash((self.seed, case, sample_idx, self.split)) % (2**31)
+            zlib.crc32(
+                f"{self.seed}/{case}/{sample_idx}/{self.split}".encode()
+            ) % (2**31)
         )
         sample = build_sample(
             pts,

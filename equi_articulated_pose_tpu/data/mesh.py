@@ -35,8 +35,22 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_triangles_to_seg_idx(path: str, nparts: int | None = None):
-    """Per-triangle part index (.npy), remapped to contiguous [0, P)."""
-    arr = np.load(path, allow_pickle=True).astype(np.int64)
+    """Per-triangle part index, remapped to contiguous [0, P).
+
+    Accepts both on-disk formats: the reference's pickled dict
+    {triangle_idx: seg_idx} (``data_utils.py:173-183`` iterates keys
+    min..max) and a plain integer array.
+    """
+    raw = np.load(path, allow_pickle=True)
+    if raw.dtype == object:  # reference format: np.save of a python dict
+        mapping = raw.item()
+        keys = sorted(int(k) for k in mapping.keys())
+        lo, hi = keys[0], keys[-1]
+        arr = np.array(
+            [int(mapping[k]) for k in range(lo, hi + 1)], dtype=np.int64
+        )
+    else:
+        arr = raw.astype(np.int64)
     uniq = np.unique(arr)
     remap = {int(v): i for i, v in enumerate(uniq.tolist())}
     out = np.vectorize(remap.__getitem__)(arr)
@@ -48,14 +62,38 @@ def load_triangles_to_seg_idx(path: str, nparts: int | None = None):
 def load_motion_attributes(path: str) -> List[Dict]:
     """motion_attributes.json -> list of per-part dicts with keys
     ``motion_type`` ('rotation' | 'translation' | 'none'), ``center`` [3],
-    ``direction`` [3]."""
+    ``direction`` [3].
+
+    The reference format is a part HIERARCHY (dof_name/motion_type/center/
+    direction + ``children``) traversed depth-first
+    (``data_utils.py:127-151``); flat lists are accepted too.
+    """
     with open(path, "r") as f:
         data = json.load(f)
-    if isinstance(data, dict):
-        # ordered by key
-        keys = sorted(data.keys())
-        data = [data[k] for k in keys]
-    return data
+    if isinstance(data, list):
+        return data
+
+    if "dof_name" in data or "motion_type" in data:
+        out: List[Dict] = []
+
+        def walk(node):
+            out.append(
+                {
+                    "dof_name": node.get("dof_name", ""),
+                    "motion_type": node.get("motion_type", "none"),
+                    "center": node.get("center", [0.0, 0.0, 0.0]),
+                    "direction": node.get("direction", [0.0, 1.0, 0.0]),
+                }
+            )
+            for child in node.get("children", []):
+                walk(child)
+
+        walk(data)
+        return out
+
+    # flat dict keyed by part id
+    keys = sorted(data.keys())
+    return [data[k] for k in keys]
 
 
 def triangle_areas(vertices: np.ndarray, triangles: np.ndarray) -> np.ndarray:

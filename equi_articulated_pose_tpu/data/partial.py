@@ -110,6 +110,10 @@ def make_partial(sample: Dict[str, np.ndarray], rng: np.random.RandomState,
 
 
 class _PartialMixin:
+    """Point-splat fallback for datasets WITHOUT a triangle mesh (HOI4D
+    down-sampled scans).  Mesh-backed datasets use the z-buffer triangle
+    rasterizer instead (``rasterize.py``, via partial_view=True)."""
+
     # fixed integer salt: str-hash seeding is randomized per process
     # (PYTHONHASHSEED) and would make the view non-reproducible across runs
     _VIEW_SALT = 0x9E3779B1
@@ -120,9 +124,18 @@ class _PartialMixin:
         return make_partial(sample, rng, self.npoints)
 
 
-class PartialSyntheticDataset(_PartialMixin, SyntheticDataset):
-    """Single-view partial synthetic articulated shapes."""
+class PartialSyntheticDataset(SyntheticDataset):
+    """Single-view partial synthetic shapes — mesh-rasterized occlusion."""
+
+    def __init__(self, *a, **kw):
+        kw.setdefault("partial_view", True)
+        super().__init__(*a, **kw)
 
 
-class PartialMotionDataset(_PartialMixin, MotionDataset):
-    """Single-view partial Shape2Motion (MotionDatasetPartial analog)."""
+class PartialMotionDataset(MotionDataset):
+    """Single-view partial Shape2Motion (MotionDatasetPartial analog) —
+    z-buffer depth rasterization of the posed part meshes."""
+
+    def __init__(self, *a, **kw):
+        kw.setdefault("partial_view", True)
+        super().__init__(*a, **kw)

@@ -44,7 +44,9 @@ class MotionDataset:
         train_ratio: float = 0.9,
         seed: int = 0,
         split_file: str | None = None,
+        partial_view: bool = False,
     ):
+        self.partial_view = partial_view
         self.shape_root = os.path.join(root, shape_type)
         self.shape_type = shape_type
         self.split = split
@@ -116,10 +118,19 @@ class MotionDataset:
         shape_idx, sample_idx = index // self.n_samples, index % self.n_samples
         shape_id = self.shape_ids[shape_idx]
         verts, tris, tri_seg, joints = self._load_shape(shape_id)
-        rng = np.random.RandomState(
-            (hash((self.seed, shape_id, sample_idx, self.split)) % (2**31))
-        )
+        # int-only seed via crc32: str hashing is PYTHONHASHSEED-randomised
+        import zlib
+
+        seed32 = zlib.crc32(
+            f"{self.seed}/{shape_id}/{sample_idx}/{self.split}".encode()
+        ) % (2**31)
+        rng = np.random.RandomState(seed32)
         pts, seg = sample_points_on_mesh(verts, tris, tri_seg, rng, density=500.0)
+        partial_rng = (
+            np.random.RandomState((seed32 * 2654435761 + 0x9E3779B1) % (2**31))
+            if self.partial_view
+            else None
+        )
         return build_sample(
             pts,
             seg,
@@ -134,4 +145,6 @@ class MotionDataset:
             rot_factor=self.rot_factor,
             global_rot_mode=self.global_rot_mode,
             canonical_input=self.canonical_input,
+            mesh=(verts, tris, tri_seg) if self.partial_view else None,
+            partial_rng=partial_rng,
         )

@@ -146,6 +146,7 @@ class SyntheticDataset:
         seed: int = 0,
         density: float = 2000.0,
         cache_base: bool = True,
+        partial_view: bool = False,
     ):
         self.shape_type = shape_type
         self.split = split
@@ -158,6 +159,7 @@ class SyntheticDataset:
         self.canonical_input = canonical_input
         self.density = density
         self.cache_base = cache_base
+        self.partial_view = partial_view
         self._base_cache: dict = {}
         base = seed + (0 if split == "train" else 10_000)
         self._shape_seeds = [base + i for i in range(n_shapes)]
@@ -173,7 +175,7 @@ class SyntheticDataset:
         shape_idx, sample_idx = index // self.n_samples, index % self.n_samples
         rng = np.random.RandomState(hash((self._shape_seeds[shape_idx], sample_idx)) % (2**31))
         if self.cache_base and shape_idx in self._base_cache:
-            pts, seg, joints = self._base_cache[shape_idx]
+            pts, seg, joints, mesh = self._base_cache[shape_idx]
         else:
             shape_rng = np.random.RandomState(self._shape_seeds[shape_idx])
             verts, tris, tri_seg, joints = make_shape(self.shape_type, shape_rng)
@@ -181,8 +183,15 @@ class SyntheticDataset:
                 verts, tris, tri_seg, np.random.RandomState(self._shape_seeds[shape_idx]),
                 density=self.density,
             )
+            mesh = (verts, tris, tri_seg)
             if self.cache_base:
-                self._base_cache[shape_idx] = (pts, seg, joints)
+                self._base_cache[shape_idx] = (pts, seg, joints, mesh)
+        partial_rng = None
+        if self.partial_view:
+            # deterministic per-index camera (int-only seed: PYTHONHASHSEED-free)
+            partial_rng = np.random.RandomState(
+                (index * 2654435761 + 0x9E3779B1) % (2**31)
+            )
         return build_sample(
             pts,
             seg,
@@ -197,4 +206,6 @@ class SyntheticDataset:
             rot_factor=self.rot_factor,
             global_rot_mode=self.global_rot_mode,
             canonical_input=self.canonical_input,
+            mesh=mesh if self.partial_view else None,
+            partial_rng=partial_rng,
         )

@@ -4,19 +4,28 @@ Re-implementation of the reference eval (``trainer_unsup_arti_align.py:
 1163-2259``; SURVEY.md §3.3):
 
 Pass 1 — run the model on CANONICAL-state inputs from the train split and fit
-per-part delta corrections (RANSAC robust means of the predicted world-frame
-rotations / bbox-centred translations).  The deltas absorb the
-self-supervised model's arbitrary-but-consistent gauge.
+per-PREDICTED-LABEL delta corrections (RANSAC robust means of the predicted
+world-frame rotations / bbox-centred translations, ref trainer:1294-1350).
+The deltas absorb the self-supervised model's arbitrary-but-consistent gauge.
 
-Pass 2 — run on the posed test split, hungarian-match slots to GT parts by
-IoU, compose the (optional) stage-0 global pose with per-slot poses, apply
-the deltas, and report per-part rotation (deg) / translation errors,
-segmentation IoU, joint-axis angular error, pivot offset error, part-pair
-relative rotation error, chamfer-L1.
+Pass 2 — for every posed test batch run the model TWICE (posed input and
+canonical input, ref trainer:1761-1806), hungarian-match slots to GT parts by
+IoU, compose the (optional) stage-0 global pose with per-slot poses, and
+report (ref trainer:2180-2259):
+
+* per-part rotation error, delta-corrected:      R·ΔRᵀ  vs  R_state·R_refᵀ
+* per-part canonical-relative rotation error:    R·R_canonᵀ  vs  gt
+* per-part translation error, delta variant:     ‖T − (R ΔRᵀ)ΔT − T_gt‖
+* per-part translation error, canonical variant: ‖T − (R R_canonᵀ)T_canon − T_gt‖
+  with T_gt = T_state_bbox − (R_state R_refᵀ) T_ref_bbox and every predicted
+  T centred on the bbox of its predicted part's input points (trainer:1866-1877)
+* segmentation IoU (sampled + full-4096 NN-transferred)
+* joint-axis angular error vs every moving part's GT axis (trainer:1544-1549)
+* pivot-offset error |‖pv‖ − gt_offset| (trainer:1536-1542)
+* part-pair relative rotation errors, chamfer-L1
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional
 
 import jax
@@ -28,16 +37,28 @@ from ..data import DataLoader, build_dataset
 from ..models import GlobalAlignModel, SlotPoseModel
 from ..ops.chamfer import chamfer_l1
 from .metrics import (
-    axis_angle_error_deg,
     matched_seg_iou,
     relative_rotation_errors,
     rot_diff_degree,
 )
 from .ransac import ransac_fit_r, ransac_fit_t
 
+BIG = 1e6
 
-def _bbox_center(pts, axis=-2):
-    return (pts.min(axis=axis) + pts.max(axis=axis)) / 2.0
+
+def _masked_bbox_center(xyz: jnp.ndarray, one_hot: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot bbox centre of the points carrying each predicted label.
+
+    xyz [B, N, 3]; one_hot [B, N, S] -> [B, S, 3]; zero for empty slots
+    (ref trainer:1866-1871: centre of the predicted part's input points).
+    """
+    m = one_hot[..., None] > 0.5                       # [B, N, S, 1]
+    pts = xyz[:, :, None, :]                           # [B, N, 1, 3]
+    mn = jnp.min(jnp.where(m, pts, BIG), axis=1)       # [B, S, 3]
+    mx = jnp.max(jnp.where(m, pts, -BIG), axis=1)
+    center = (mn + mx) / 2.0
+    nonempty = jnp.any(m, axis=1)
+    return jnp.where(nonempty, center, 0.0)
 
 
 class Evaluator:
@@ -54,47 +75,30 @@ class Evaluator:
         self.params = params
         self.glb_model = glb_model
         self.glb_params = glb_params
-        self._fwd = jax.jit(self._forward)
+        self._slots_fn = jax.jit(self._slot_outputs)
+        self._posed_fn = jax.jit(self._forward_posed)
 
     # ------------------------------------------------------------------
-    def _forward_full_iou(self, params, xyz, gt_label, oorr_pc, oorr_label,
-                          num_parts: int | None = None):
-        """Full-resolution (4096-pt) segmentation IoU: transfer predicted
-        labels to the dense cloud by nearest neighbour (the reference's
-        full-point IoU variant, trainer:2180-2210)."""
-        from ..ops.sampling import pairwise_sqdist
+    def _slot_outputs(self, params, xyz):
+        """One model run (glb ∘ slot): unmatched per-slot world-frame poses.
 
-        out = self._forward(params, xyz, gt_label, num_parts)
-        d2 = pairwise_sqdist(oorr_pc, xyz)                 # [B, No, N]
-        nn = jnp.argmin(d2, axis=-1)
-        full_pred = jnp.take_along_axis(out["labels"], nn, axis=1)  # [B, No]
-        S = self.cfg.model.nmasks
-        P = self.cfg.model.nmasks if num_parts is None else num_parts
-        pred_oh = jax.nn.one_hot(full_pred, S).transpose(0, 2, 1)
-        gt_oh = jax.nn.one_hot(oorr_label, P).transpose(0, 2, 1)
-        iou_full, _ = matched_seg_iou(pred_oh, gt_oh)
-        out["iou_full"] = iou_full
-        return out
-
-    def _forward(self, params, xyz, gt_label, num_parts: int | None = None):
-        """Run (glb ∘ slot) model; match slots to GT; emit world-frame poses.
-
-        xyz [B, N, 3]; gt_label [B, N] int.
+        Returns R_w [B,S,3,3], T_w [B,S,3] (bbox-centred on each predicted
+        slot's input points), labels [B,N], axis_w [B,3], offset_pivot [B],
+        transformed pts, chamfer-L1.
         """
-        P = self.cfg.model.nmasks if num_parts is None else num_parts
-        glb_R = jnp.broadcast_to(jnp.eye(3), (xyz.shape[0], 3, 3))
-        glb_T = jnp.zeros((xyz.shape[0], 3))
+        B = xyz.shape[0]
+        glb_R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        glb_T = jnp.zeros((B, 3))
         x_in = xyz
         if self.glb_params is not None:
             g = self.glb_model.apply(self.glb_params, xyz)
             glb_R, glb_T = g["glb_R"], g["glb_T"]
             x_in = g["inv_pts"]
-        loss, out = self.model.apply(params, x_in, None)
+        _, out = self.model.apply(params, x_in, None)
 
         S = out["attn"].shape[1]
-        pred_onehot = jax.nn.one_hot(out["hard_labels"], S).transpose(0, 2, 1)
-        gt_onehot = jax.nn.one_hot(gt_label, P).transpose(0, 2, 1)
-        iou, matching = matched_seg_iou(pred_onehot, gt_onehot)  # [B], [B, P]
+        labels = out["hard_labels"]
+        one_hot = jax.nn.one_hot(labels, S, axis=-1)            # [B, N, S]
 
         # world-frame per-slot poses: x_world = glb_R (R_s c + T_s) + glb_T
         R_w = jnp.einsum("bij,bsjk->bsik", glb_R, out["pred_R"])
@@ -105,52 +109,80 @@ class Evaluator:
         )
         axis_w = jnp.einsum("bij,bj->bi", glb_R, out["real_defined_axis"])
 
-        # match slots to parts
-        mi = matching[..., None]
-        R_m = jnp.take_along_axis(R_w, mi[..., None], axis=1)       # [B, P, 3, 3]
-        T_m = jnp.take_along_axis(T_w, mi, axis=1)                  # [B, P, 3]
-        tp_m = jnp.take_along_axis(tp_w, mi[..., None], axis=1)     # [B, P, M, 3]
-        real_pred_T = T_m - _bbox_center(tp_m)                      # bbox-centred
+        # bbox-centring on the predicted part's input points (world frame)
+        center = _masked_bbox_center(xyz, one_hot)
+        T_w_bbox = T_w - center
 
-        # whole-shape chamfer L1 between union recon and input (world frame)
-        B, S_, M, _ = tp_w.shape
-        union = tp_w.reshape(B, S_ * M, 3)
-        cl1 = chamfer_l1(union, xyz)
+        B_, S_, M, _ = tp_w.shape
+        cl1 = chamfer_l1(tp_w.reshape(B_, S_ * M, 3), xyz)
 
         return {
-            "iou": iou,
-            "R_pred": R_m,
-            "real_pred_T": real_pred_T,
-            "axis_pred": axis_w,
-            "labels": out["hard_labels"],
+            "R_w": R_w,
+            "T_w": T_w_bbox,
+            "labels": labels,
+            "one_hot": one_hot,
+            "slot_counts": one_hot.sum(1),
+            "axis_w": axis_w,
+            "offset_pivot": out["offset_pivot_points"],
+            "tp_w": tp_w,
             "chamfer_l1": cl1,
-            "pv_points": out["pv_points"],
         }
+
+    def _forward_posed(self, params, xyz, gt_label, num_parts=None):
+        """Posed run + IoU matching against GT parts."""
+        P = self.cfg.model.nmasks if num_parts is None else num_parts
+        out = self._slot_outputs(params, xyz)
+        S = out["one_hot"].shape[-1]
+        pred_onehot = out["one_hot"].transpose(0, 2, 1)
+        gt_onehot = jax.nn.one_hot(gt_label, P).transpose(0, 2, 1)
+        iou, matching = matched_seg_iou(pred_onehot, gt_onehot)  # [B], [B, P]
+        out["iou"], out["matching"] = iou, matching
+        return out
+
+    def _full_iou(self, out, xyz, oorr_pc, oorr_label, num_parts=None):
+        """Full-resolution IoU by NN label transfer (trainer:2180-2210)."""
+        from ..ops.sampling import pairwise_sqdist
+
+        d2 = pairwise_sqdist(oorr_pc, xyz)                 # [B, No, N]
+        nn = jnp.argmin(d2, axis=-1)
+        full_pred = jnp.take_along_axis(out["labels"], nn, axis=1)
+        S = self.cfg.model.nmasks
+        P = self.cfg.model.nmasks if num_parts is None else num_parts
+        pred_oh = jax.nn.one_hot(full_pred, S).transpose(0, 2, 1)
+        gt_oh = jax.nn.one_hot(oorr_label, P).transpose(0, 2, 1)
+        iou_full, _ = matched_seg_iou(pred_oh, gt_oh)
+        return iou_full
 
     # ------------------------------------------------------------------
     def fit_deltas(self, canon_loader: DataLoader, key, max_batches: int = 50):
-        """Pass 1: RANSAC delta rotations/translations from canonical runs."""
-        Rs, Ts = [], []
+        """Pass 1: per-predicted-label RANSAC deltas from canonical runs
+        (ref trainer:1294-1350).  Returns (delta_r [S,3,3], delta_t [S,3])."""
+        S = self.cfg.model.nmasks
+        Rs, Ts, counts = [], [], []
         for i, batch in enumerate(canon_loader):
             if i >= max_batches:
                 break
-            out = self._fwd(
-                self.params,
-                jnp.asarray(batch["pc"]),
-                jnp.asarray(batch["label"]),
+            out = self._slots_fn(self.params, jnp.asarray(batch["pc"]))
+            Rs.append(np.asarray(out["R_w"]))
+            Ts.append(np.asarray(out["T_w"]))
+            counts.append(np.asarray(out["slot_counts"]))
+        R_all = np.concatenate(Rs, 0)       # [K, S, 3, 3]
+        T_all = np.concatenate(Ts, 0)       # [K, S, 3]
+        cnt = np.concatenate(counts, 0)     # [K, S]
+        delta_r = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
+        delta_t = np.zeros((S, 3), dtype=np.float32)
+        for s in range(S):
+            valid = cnt[:, s] > 0.5
+            if valid.sum() < 2:   # empty predicted label: identity delta
+                continue
+            kr, kt = jax.random.split(jax.random.fold_in(key, s))
+            delta_r[s] = np.asarray(
+                ransac_fit_r(jnp.asarray(R_all[valid, s]), kr)
             )
-            Rs.append(np.asarray(out["R_pred"]))
-            ref_T = np.asarray(batch["part_ref_trans_bbox"])
-            Ts.append(np.asarray(out["real_pred_T"]) - ref_T)
-        R_all = np.concatenate(Rs, 0)   # [K, P, 3, 3]
-        T_all = np.concatenate(Ts, 0)   # [K, P, 3]
-        P = R_all.shape[1]
-        delta_r, delta_t = [], []
-        for p in range(P):
-            kr, kt = jax.random.split(jax.random.fold_in(key, p))
-            delta_r.append(np.asarray(ransac_fit_r(jnp.asarray(R_all[:, p]), kr)))
-            delta_t.append(np.asarray(ransac_fit_t(jnp.asarray(T_all[:, p]), kt)))
-        return np.stack(delta_r), np.stack(delta_t)
+            delta_t[s] = np.asarray(
+                ransac_fit_t(jnp.asarray(T_all[valid, s]), kt)
+            )
+        return delta_r, delta_t
 
     # ------------------------------------------------------------------
     def evaluate(
@@ -159,78 +191,123 @@ class Evaluator:
         deltas=None,
         max_batches: int = 100,
     ) -> Dict[str, float]:
-        """Pass 2: delta-corrected per-part metrics on the posed test split."""
-        per_rot, per_trans, per_axis, per_iou, per_cl1 = [], [], [], [], []
-        per_relrot, per_pv, per_iou_full = [], [], []
-        fwd_full = jax.jit(self._forward_full_iou)
+        """Pass 2: per-part metrics on the posed test split, with a
+        canonical-input model run per batch (ref trainer:1761-2026)."""
+        acc = {
+            k: []
+            for k in (
+                "rot", "canon_rot", "trans", "trans2", "iou", "iou_full",
+                "cl1", "relrot", "pv", "axis_deg",
+            )
+        }
         for i, batch in enumerate(test_loader):
             if i >= max_batches:
                 break
-            out = fwd_full(
-                self.params,
-                jnp.asarray(batch["pc"]),
-                jnp.asarray(batch["label"]),
-                jnp.asarray(batch["oorr_pc"]),
+            xyz = jnp.asarray(batch["pc"])
+            out = self._posed_fn(
+                self.params, xyz, jnp.asarray(batch["label"])
+            )
+            canon = self._slots_fn(self.params, jnp.asarray(batch["canon_pc"]))
+            iou_full = self._full_iou(
+                out, xyz, jnp.asarray(batch["oorr_pc"]),
                 jnp.asarray(batch["oorr_label"]),
             )
-            per_iou_full.append(np.asarray(out["iou_full"]))
-            R_pred = np.asarray(out["R_pred"])          # [B, P, 3, 3]
-            if deltas is not None:
-                dR, dT = deltas
-                R_pred = np.einsum("bpij,pkj->bpik", R_pred, dR)
+            acc["iou"].append(np.asarray(out["iou"]))
+            acc["iou_full"].append(np.asarray(iou_full))
+            acc["cl1"].append(np.asarray(out["chamfer_l1"]))
+
+            matching = np.asarray(out["matching"])          # [B, P]
+            mi = matching[..., None]
+            R_m = np.take_along_axis(np.asarray(out["R_w"]), mi[..., None], 1)
+            T_m = np.take_along_axis(np.asarray(out["T_w"]), mi, 1)
+            cR_m = np.take_along_axis(np.asarray(canon["R_w"]), mi[..., None], 1)
+            cT_m = np.take_along_axis(np.asarray(canon["T_w"]), mi, 1)
+
             gt_R = np.einsum(
                 "bpij,bpkj->bpik",
                 np.asarray(batch["part_state_rots"]),
                 np.asarray(batch["part_ref_rots"]),
             )
-            rd = np.asarray(
-                rot_diff_degree(jnp.asarray(R_pred), jnp.asarray(gt_R))
-            )                                            # [B, P]
-            per_rot.append(rd)
+            # real GT translation (trainer:1934-1937)
+            gt_T = np.asarray(batch["part_state_trans_bbox"]) - np.einsum(
+                "bpij,bpj->bpi", gt_R, np.asarray(batch["part_ref_trans_bbox"])
+            )
 
-            t_pred = np.asarray(out["real_pred_T"])
+            # delta-corrected rotation + translation (trainer:1906-1917)
             if deltas is not None:
-                t_pred = t_pred - deltas[1][None]
-            t_gt = np.asarray(batch["part_state_trans_bbox"])
-            per_trans.append(np.linalg.norm(t_pred - t_gt, axis=-1))
+                dR = deltas[0][matching]                    # [B, P, 3, 3]
+                dT = deltas[1][matching]                    # [B, P, 3]
+            else:
+                dR = np.tile(np.eye(3, dtype=np.float32), matching.shape + (1, 1))
+                dT = np.zeros(matching.shape + (3,), dtype=np.float32)
+            R_delta = np.einsum("bpij,bpkj->bpik", R_m, dR)
+            t_pred_delta = T_m - np.einsum("bpij,bpj->bpi", R_delta, dT)
+            # canonical-relative variants (trainer:1891-1912)
+            R_canon_rel = np.einsum("bpij,bpkj->bpik", R_m, cR_m)
+            t_pred_canon = T_m - np.einsum("bpij,bpj->bpi", R_canon_rel, cT_m)
 
-            # joint axis: compare against the first moving part's GT axis
-            gt_axis = np.asarray(batch["part_axis"])[:, 0]
-            per_axis.append(
+            acc["rot"].append(
+                np.asarray(rot_diff_degree(jnp.asarray(R_delta), jnp.asarray(gt_R)))
+            )
+            acc["canon_rot"].append(
                 np.asarray(
-                    axis_angle_error_deg(out["axis_pred"], jnp.asarray(gt_axis))
+                    rot_diff_degree(jnp.asarray(R_canon_rel), jnp.asarray(gt_R))
                 )
             )
-            per_iou.append(np.asarray(out["iou"]))
-            per_cl1.append(np.asarray(out["chamfer_l1"]))
-            per_relrot.append(
+            acc["trans"].append(np.linalg.norm(t_pred_delta - gt_T, axis=-1))
+            acc["trans2"].append(np.linalg.norm(t_pred_canon - gt_T, axis=-1))
+            acc["relrot"].append(
                 np.asarray(
-                    relative_rotation_errors(jnp.asarray(R_pred), jnp.asarray(gt_R))
+                    relative_rotation_errors(
+                        jnp.asarray(R_delta), jnp.asarray(gt_R)
+                    )
                 )
             )
+
+            # joint-axis angular error vs EVERY moving part's GT axis
+            # (trainer:1544-1549: acos of the mean |dot| per batch)
+            gt_axes = np.asarray(batch["part_axis"])        # [B, n_mov, 3]
+            gt_axes = gt_axes / np.clip(
+                np.linalg.norm(gt_axes, axis=-1, keepdims=True), 1e-8, None
+            )
+            pred_axis = np.asarray(out["axis_w"])           # [B, 3]
+            dots = np.abs(np.sum(pred_axis[:, None, :] * gt_axes, axis=-1))
+            acc["axis_deg"].append(
+                np.degrees(np.arccos(min(float(dots.mean()), 1.0)))
+            )
+
+            # pivot offset: |‖pv‖ − gt_offset| (trainer:1536-1542; the
+            # reference compares scalar norms, which are glb-frame invariant)
             gt_pv_off = np.asarray(batch["part_pv_offset"])[:, 0]
-            pv_w = np.asarray(out["pv_points"])[:, min(1, out["pv_points"].shape[1] - 1)]
-            ax = np.asarray(out["axis_pred"])
-            pv_perp = pv_w - (pv_w * ax).sum(-1, keepdims=True) * ax
-            per_pv.append(np.abs(np.linalg.norm(pv_perp, axis=-1) - gt_pv_off))
+            acc["pv"].append(
+                np.abs(np.asarray(out["offset_pivot"]) - gt_pv_off)
+            )
 
-        rot = np.concatenate(per_rot, 0)
-        trans = np.concatenate(per_trans, 0)
-        axis = np.concatenate(per_axis, 0)
-        relrot = np.concatenate(per_relrot, 0)
+        rot = np.concatenate(acc["rot"], 0)
+        canon_rot = np.concatenate(acc["canon_rot"], 0)
+        trans = np.concatenate(acc["trans"], 0)
+        trans2 = np.concatenate(acc["trans2"], 0)
+        relrot = np.concatenate(acc["relrot"], 0)
         metrics = {
-            "seg_iou": float(np.mean(np.concatenate(per_iou))),
-            "seg_iou_full": float(np.mean(np.concatenate(per_iou_full))),
-            "chamfer_l1": float(np.mean(np.concatenate(per_cl1))),
-            "axis_err_deg_mean": float(np.mean(axis)),
-            "axis_err_deg_median": float(np.median(axis)),
-            "pv_offset_err_mean": float(np.mean(np.concatenate(per_pv))),
+            "seg_iou": float(np.mean(np.concatenate(acc["iou"]))),
+            "seg_iou_full": float(np.mean(np.concatenate(acc["iou_full"]))),
+            "chamfer_l1": float(np.mean(np.concatenate(acc["cl1"]))),
+            "axis_err_deg_mean": float(np.mean(acc["axis_deg"])),
+            "axis_err_deg_median": float(np.median(acc["axis_deg"])),
+            "pv_offset_err_mean": float(np.mean(np.concatenate(acc["pv"]))),
         }
         for p in range(rot.shape[1]):
             metrics[f"rot_err_deg_part{p}_mean"] = float(np.mean(rot[:, p]))
             metrics[f"rot_err_deg_part{p}_median"] = float(np.median(rot[:, p]))
+            metrics[f"canon_rot_err_deg_part{p}_mean"] = float(
+                np.mean(canon_rot[:, p])
+            )
             metrics[f"trans_err_part{p}_mean"] = float(np.mean(trans[:, p]))
             metrics[f"trans_err_part{p}_median"] = float(np.median(trans[:, p]))
+            metrics[f"trans2_err_part{p}_mean"] = float(np.mean(trans2[:, p]))
+            metrics[f"trans2_err_part{p}_median"] = float(
+                np.median(trans2[:, p])
+            )
         for k in range(relrot.shape[1]):
             metrics[f"rel_rot_err_deg_pair{k}_mean"] = float(np.mean(relrot[:, k]))
         return metrics

@@ -1,2 +1,8 @@
-from .dgcnn import DGCNNSeg
-from .pointnet2 import PointNet2Seg
+from .dgcnn import (
+    DGCNNEncoder,
+    DGCNNSeg,
+    PrimitiveNet,
+    PrimitivesEmbeddingDGCNN,
+    segment_from_embedding,
+)
+from .pointnet2 import PointNet2Seg, PointnetPP

@@ -34,9 +34,13 @@ from ..nn.decoders import (
     DecoderConstantCommon,
     DecoderFC,
     DecoderFCAtlas,
+    DecoderFCWithCuboid,
     DecoderFCWithPVP,
     DecoderFCWithPVPAtlas,
     DecoderFCWithPVPConstantCommon,
+    DecoderFCWithPVPCuboid,
+    cuboid_axis_normal_loss,
+    cuboid_fit_loss,
 )
 from ..nn.heads import SO3PoseHead, SO3PrismaticHead
 from ..nn.outblocks import InvOutBlock, InvPPOutBlock
@@ -49,8 +53,9 @@ BIG = 1e5
 
 class _SlotDecoder(nn.Module):
     """Per-slot canonical shape decoder, selected by recon_prior
-    (ref ``unsup_..._40:249-297``).  Returns (pts, pivot, central), with pivot
-    and central zeros when the prior has none."""
+    (ref ``unsup_..._40:249-297``).  Returns (pts, pivot, central, cuboid_x,
+    cuboid_R); pivot/central default to 0.5 (centre) and the cuboid to a unit
+    box when the prior lacks them."""
 
     cfg: ModelConfig
 
@@ -60,22 +65,27 @@ class _SlotDecoder(nn.Module):
         M = c.part_pred_npoints
         feats = (256, 256)
         rp = c.recon_prior
-        if rp in (6, 7):
+        lead = inv_feat.shape[:-1]
+        cub_x = jnp.full(lead + (3,), 1.0)
+        cub_R = jnp.broadcast_to(jnp.eye(3), lead + (3, 3))
+        pv = cp = jnp.full(lead + (3,), 0.5)
+        if rp == 7:
+            pts, pv, cp, cub_x, cub_R = DecoderFCWithPVPCuboid(feats, M)(inv_feat)
+        elif rp == 6:
             pts, pv, cp = DecoderFCWithPVP(feats, M)(inv_feat)
+        elif rp == 5:
+            pts, cub_x, cub_R = DecoderFCWithCuboid(feats, M)(inv_feat)
         elif rp == 8:
             pts, pv, cp = DecoderFCWithPVPAtlas(feats, M)(inv_feat)
         elif rp == 9:
             pts, pv, cp = DecoderFCWithPVPConstantCommon(feats, M)(inv_feat)
         elif rp == 4:
             pts = DecoderFCAtlas(feats, M)(inv_feat)
-            pv = cp = jnp.full(inv_feat.shape[:-1] + (3,), 0.5)
         elif rp == 2:
             pts = DecoderConstantCommon(feats, M)(inv_feat)
-            pv = cp = jnp.full(inv_feat.shape[:-1] + (3,), 0.5)
         else:
             pts = DecoderFC(feats, M)(inv_feat)
-            pv = cp = jnp.full(inv_feat.shape[:-1] + (3,), 0.5)
-        return pts, pv, cp
+        return pts, pv, cp, cub_x, cub_R
 
 
 def _slot_vmap(module_cls, num_slots: int, in_axes, **kwargs):
@@ -156,13 +166,54 @@ class SlotPoseModel(nn.Module):
                 S,
                 in_axes=(None, 0),
                 representation=c.representation,
-                pred_t=c.pred_t,
+                # pivot-derived translations skip the dense T tower
+                # (ref scripts pass --translation=0 for the 38 recipes)
+                pred_t=c.pred_t and not self.trans_from_pv,
                 pred_axis=c.pred_axis,
                 **head_kw,
             )
         self.anchors_const = jnp.asarray(
             so3g.get_anchors(240 if c.use_2d else c.kpconv_kanchor)
         )
+        if c.axis_reg_stra == 1:
+            # running-mean outlier gate over the pivot/axis-line distances
+            # (ref unsup_..._38:348-356,1535-1676); cross-step mutable state
+            self.avg_pv_dist = self.variable(
+                "state", "avg_pv_dist", lambda: jnp.zeros(())
+            )
+            self.pv_count = self.variable(
+                "state", "pv_count", lambda: jnp.zeros(())
+            )
+
+    @property
+    def trans_from_pv(self) -> bool:
+        c = self.cfg
+        if c.trans_from_pv is not None:
+            return c.trans_from_pv
+        return c.representation == "angle" and c.joint_type != "prismatic"
+
+    # ------------------------------------------------------------------
+    def _gate_pv(self, d: jnp.ndarray) -> jnp.ndarray:
+        """axis_reg_stra=1 running-mean gate: distances above the running
+        average are zeroed (outlier rejection) and the average is updated with
+        the surviving mass (ref unsup_..._38:1535-1553).  Identity when
+        axis_reg_stra=0."""
+        if self.cfg.axis_reg_stra != 1:
+            return d
+        avg, cnt = self.avg_pv_dist, self.pv_count
+        have = cnt.value > 0
+        ind = jnp.where(
+            have, (d <= avg.value).astype(d.dtype), jnp.ones_like(d)
+        )
+        dg = d * ind
+        n_valid = jnp.sum(ind)
+        if self.is_mutable_collection("state") and not self.is_initializing():
+            new_avg = (avg.value * cnt.value + jnp.sum(jax.lax.stop_gradient(dg))) / jnp.maximum(
+                cnt.value + n_valid, 1.0
+            )
+            avg.value = new_avg
+            cnt.value = cnt.value + n_valid
+        return dg
 
     # ------------------------------------------------------------------
     def _encode(self, xyz, x_list=None, hard_label=None):
@@ -222,53 +273,99 @@ class SlotPoseModel(nn.Module):
         is_base = jax.nn.one_hot(base_slot, S, axis=-1)         # [B, S]
 
         # --- per-slot inv features, poses, reconstructions -----------------
-        slot_inv, _ = self.slot_outblock(x, masks)              # [S, B, C]
+        # with_part_proposal=0 feeds the whole cloud to the per-slot inv
+        # block instead of the slot's masked subset (ref unsup_..._38:735-737)
+        inv_masks = masks if c.with_part_proposal else jnp.ones_like(masks)
+        slot_inv, _ = self.slot_outblock(x, inv_masks)          # [S, B, C]
         pair_inv, _ = self.pair_slot_outblock(x, None)          # [S, B, C]
         rt = self.slot_rt_head(x, masks)
-        canon, _pv_own, central = self.slot_decoder(slot_inv)   # [S,B,M,3],[S,B,3]
+        canon, _pv_own, central, cub_x, cub_R = self.slot_decoder(slot_inv)
         _pair_pts, pv, _pc = self.pair_slot_decoder(pair_inv)   # pivot from pair
 
         canon = jnp.moveaxis(canon, 0, 1) - 0.5                 # [B, S, M, 3]
         pv_points = jnp.moveaxis(pv, 0, 1) - 0.5                # [B, S, 3]
         central_points = jnp.moveaxis(central, 0, 1) - 0.5      # [B, S, 3]
+        cub_x = jnp.moveaxis(cub_x, 0, 1)                       # [B, S, 3]
+        cub_R = jnp.moveaxis(cub_R, 0, 1)                       # [B, S, 3, 3]
 
         raw_R = jnp.moveaxis(rt["R"], 0, 1)                     # [B, S, A, r]
-        slot_T = jnp.moveaxis(rt["T"], 0, 1)                    # [B, S, A, 3]
+        trans_from_pv = self.trans_from_pv
         if "axis" in rt:
             slot_axis = jnp.moveaxis(rt["axis"], 0, 1)          # [B, S, A, 3]
         else:
             slot_axis = jnp.zeros((B, S, A, 3)).at[..., 1].set(1.0)
 
-        # defined axis: slot 1's predicted axis (ref :2195, :2228)
-        defined_axis = slot_axis[:, min(1, S - 1)]              # [B, A, 3]
+        # shared defined axis: the angle path uses slot 0's predicted axis
+        # (ref unsup_..._38:1096), the quat path slot 1's (ref _40:2195)
+        if c.representation == "angle":
+            defined_axis = slot_axis[:, 0]                      # [B, A, 3]
+        else:
+            defined_axis = slot_axis[:, min(1, S - 1)]          # [B, A, 3]
 
-        # rotation matrices; base slot forced to identity (ref :2201-2203)
+        # rotation matrices (residual, pre-anchor-composition)
         if c.joint_type == "prismatic":
             R_mtx = jnp.broadcast_to(jnp.eye(3), (B, S, A, 3, 3))
         elif c.representation == "angle":
-            # axis-angle about the shared predicted axis
-            # (ref compute_rotation_matrix_from_angle, model_utils.py:1000+)
+            # axis-angle about the shared predicted axis; EVERY slot rotates
+            # (the reference's base-identity branch is dead code —
+            # unsup_..._38:1085 `i_s == lbl and i_s != lbl` is always false)
             angle = jax.nn.sigmoid(raw_R[..., 0]) * jnp.pi * c.rot_angle_factor
             ax = jnp.broadcast_to(defined_axis[:, None], (B, S, A, 3))
             R_mtx = so3g.axis_angle_to_matrix(ax, angle)
-            eye = jnp.broadcast_to(jnp.eye(3), R_mtx.shape)
-            R_mtx = jnp.where(is_base[:, :, None, None, None] > 0.5, eye, R_mtx)
         else:
+            # quat path: base slot forced to identity (ref _40:2201-2203)
             R_mtx = so3g.quat_to_matrix(raw_R)                  # [B,S,A,3,3]
             eye = jnp.broadcast_to(jnp.eye(3), R_mtx.shape)
             R_mtx = jnp.where(is_base[:, :, None, None, None] > 0.5, eye, R_mtx)
 
+        # translations: either the dense T head, or derived from the shared
+        # pivot point and per-slot central point, T = R(c - pv) + pv
+        # (ref unsup_..._38:1193-1200,1246-1252; scripts pass --translation=0)
+        pv0 = pv_points[:, 0]                                   # [B, 3]
+        if trans_from_pv:
+            central_a = jnp.broadcast_to(
+                central_points[:, :, None, :], (B, S, A, 3)
+            )
+            if c.shape_type == "washing_machine":
+                # moving slots add the anchor-inverse-rotated slot centroid
+                # (ref unsup_..._38:747-753,1232-1239)
+                denom = jnp.clip(masks.sum(-1), 1e-6)           # [S, B]
+                avg_off = jnp.einsum("sbn,bnj->sbj", masks, xyz) / denom[..., None]
+                avg_off = jnp.moveaxis(avg_off, 0, 1)           # [B, S, 3]
+                off_a = jnp.einsum("aji,bsj->bsai", anchors, avg_off)
+                central_a = central_a + off_a * (
+                    1.0 - is_base[:, :, None, None]
+                )
+            diff = central_a - pv0[:, None, None, :]
+            slot_T = jnp.einsum("bsaij,bsaj->bsai", R_mtx, diff) + pv0[:, None, None, :]
+        else:
+            slot_T = jnp.moveaxis(rt["T"], 0, 1)                # [B, S, A, 3]
+
         # anchor composition (ref :2466-2468)
-        slot_R = jnp.einsum("aij,bsajk->bsaik", anchors, R_mtx)
-        slot_T_rot = jnp.einsum("aij,bsaj->bsai", anchors, slot_T)
+        slot_R_full = jnp.einsum("aij,bsajk->bsaik", anchors, R_mtx)
+        slot_T_full = jnp.einsum("aij,bsaj->bsai", anchors, slot_T)
+
+        # optional anchor restriction for the transform orbit: sel_mode_trans
+        # fixes the chamfer search to one anchor (ref _38:1286-1290,1313-1317;
+        # k=1 — the global alignment already canonicalised the pose)
+        if c.sel_mode_trans is not None and c.sel_mode_trans >= 0:
+            trans_anchors = jnp.array([c.sel_mode_trans], dtype=jnp.int32)
+        else:
+            trans_anchors = jnp.arange(A, dtype=jnp.int32)
+        K = trans_anchors.shape[0]
+        slot_R = slot_R_full[:, :, trans_anchors]               # [B,S,K,3,3]
+        slot_T_rot = slot_T_full[:, :, trans_anchors]           # [B,S,K,3]
+        R_res_t = R_mtx[:, :, trans_anchors]                    # [B,S,K,3,3]
+        T_res_t = slot_T[:, :, trans_anchors]                   # [B,S,K,3]
+        defined_axis_t = defined_axis[:, trans_anchors]         # [B,K,3]
 
         # --- per-(slot, anchor) chamfer -------------------------------------
-        # transformed canonical pts: [B, S, A, M, 3]
+        # transformed canonical pts: [B, S, K, M, 3]
         tpts = jnp.einsum("bsaij,bsmj->bsami", slot_R, canon) + slot_T_rot[..., None, :]
         d2 = pairwise_sqdist(
-            tpts.reshape(B, S * A, M, 3),
-            jnp.broadcast_to(xyz[:, None], (B, S * A, N, 3)),
-        ).reshape(B, S, A, M, N)
+            tpts.reshape(B, S * K, M, 3),
+            jnp.broadcast_to(xyz[:, None], (B, S * K, N, 3)),
+        ).reshape(B, S, K, M, N)
 
         # recon->ori restricted to in-slot points (ref :2544-2547)
         mask_n = one_hot.transpose(0, 2, 1)[:, :, None, None, :]   # [B,S,1,1,N]
@@ -289,22 +386,25 @@ class SlotPoseModel(nn.Module):
         # --- orbit selection -------------------------------------------------
         sel_axes = None
         if c.slot_single_mode:
-            total = jnp.sum(orbit_cost, axis=1)                     # [B, A]
+            total = jnp.sum(orbit_cost, axis=1)                     # [B, K]
             orbit = jnp.argmin(total, axis=-1)                      # [B]
-            slot_orbits = jnp.broadcast_to(orbit[:, None], (B, S))
+            slot_orbits_k = jnp.broadcast_to(orbit[:, None], (B, S))
         elif axis_prior is not None and S > 1:
             from .orbit_select import select_slot_orbits_axis_prior
 
             slot_weights = slot_counts / jnp.clip(
                 slot_counts.sum(-1, keepdims=True), 1e-8
             )
-            slot_orbits, sel_axes = select_slot_orbits_axis_prior(
+            slot_orbits_k, sel_axes = select_slot_orbits_axis_prior(
                 orbit_cost, slot_R, axis_prior, slot_weights
             )
         else:
-            slot_orbits = jnp.argmin(orbit_cost, axis=-1)           # [B, S]
+            slot_orbits_k = jnp.argmin(orbit_cost, axis=-1)         # [B, S]
 
-        sel = slot_orbits[..., None]
+        # map K-axis indices back to true anchor ids (k<A under sel_mode_trans)
+        slot_orbits = trans_anchors[slot_orbits_k]                  # [B, S]
+
+        sel = slot_orbits_k[..., None]
         slot_cost_sel = jnp.take_along_axis(orbit_cost, sel, axis=2)[..., 0]
         indicator = (slot_counts > 0.5).astype(jnp.float32)         # [B, S]
         slot_loss = jnp.sum(slot_cost_sel * indicator, axis=-1)     # [B]
@@ -331,6 +431,88 @@ class SlotPoseModel(nn.Module):
             glb_loss * c.glb_recon_factor + slot_loss * c.slot_recon_factor
         ).mean()
 
+        # --- pivot & axis supervision (angle path, recon_prior 6-9) ---------
+        # The joint axis/pivot receive gradient only through these terms plus
+        # the pivot-derived translations; absent them the axis head is
+        # untrained (the round-1 90 deg axis error).
+        ax_line_sel = jnp.take_along_axis(
+            defined_axis_t, slot_orbits_k[:, :1, None], axis=1
+        )[:, 0]                                                     # [B, 3]
+        if trans_from_pv and c.recon_prior in (6, 7, 8, 9):
+            sg = jax.lax.stop_gradient
+            # (a) each slot's pair-pivot lies on its canonical part
+            # (ref unsup_..._38:975-981)
+            d_pv_canon = jnp.sum(
+                (pv_points[:, :, None, :] - sg(canon)) ** 2, axis=-1
+            )                                                       # [B, S, M]
+            pv_canon_cd = self._gate_pv(jnp.min(d_pv_canon, axis=-1))
+            pv_canon_loss = pv_canon_cd.sum(-1).mean()
+
+            # (b) the joint line {pv0 - t*axis} passes near both the
+            # central-placed and the residual-transformed canonical parts
+            # (ref unsup_..._38:1494-1688); targets detached when pred_axis
+            R_res_sel = sg(
+                jnp.take_along_axis(R_res_t, sel[..., None, None], axis=2)[:, :, 0]
+            )                                                       # [B,S,3,3]
+            T_res_sel = sg(
+                jnp.take_along_axis(T_res_t, sel[..., None], axis=2)[:, :, 0]
+            )                                                       # [B,S,3]
+            central_tr = sg(canon + central_points[:, :, None, :])  # [B,S,M,3]
+            canon_tr = sg(
+                jnp.einsum("bsij,bsmj->bsmi", R_res_sel, canon)
+                + T_res_sel[:, :, None, :]
+            )
+
+            def _line_term(pv):                                     # pv [B,3]
+                d_c = jnp.min(
+                    jnp.sum((central_tr - pv[:, None, None, :]) ** 2, -1), -1
+                )                                                   # [B, S]
+                d_k = jnp.min(
+                    jnp.sum((canon_tr - pv[:, None, None, :]) ** 2, -1), -1
+                )
+                return (
+                    self._gate_pv(d_c).sum(-1).mean()
+                    + self._gate_pv(d_k).sum(-1).mean()
+                )
+
+            n_shift = 10
+            joint_len = 0.30
+            if slot_rng is not None:
+                shift_rng = jax.random.fold_in(slot_rng, 17)
+                dists = (
+                    jax.random.randint(
+                        shift_rng, (n_shift,), 1, int(joint_len * 100) + 1
+                    ).astype(jnp.float32)
+                    / 100.0
+                )
+            else:  # deterministic eval: even coverage of the joint segment
+                dists = (jnp.arange(1, n_shift + 1, dtype=jnp.float32)) * (
+                    joint_len / n_shift
+                )
+            if c.shape_type == "washing_machine":
+                dists = dists - joint_len / 2.0
+
+            axis_line = _line_term(pv0)
+            for i_d in range(n_shift):
+                axis_line = axis_line + _line_term(
+                    pv0 - dists[i_d] * ax_line_sel
+                )
+            if c.recon_prior == 7:
+                # joint axis orthogonal to the pivot-nearest cuboid face
+                # (ref unsup_..._38:1494-1501, accumulated pre-division)
+                axis_line = axis_line + cuboid_axis_normal_loss(
+                    pv_points, central_points, cub_x, cub_R, ax_line_sel
+                ).mean()
+            axis_line = axis_line / (float(n_shift) / 4.0)
+            loss = loss + pv_canon_loss + axis_line
+
+        if c.recon_prior in (5, 7):
+            # cuboid containment of each slot's input points under the
+            # selected pose (ref unsup_..._38:1764-1800)
+            loss = loss + cuboid_fit_loss(
+                pred_R, pred_T, xyz, cub_x, cub_R, one_hot, attn_ori
+            ).mean()
+
         # --- per-point poses & next-iteration clouds -------------------------
         pt_R = jnp.take_along_axis(
             pred_R, hard_labels[:, :, None, None], axis=1
@@ -348,10 +530,10 @@ class SlotPoseModel(nn.Module):
         x_next = jnp.moveaxis(x_next, 1, 0)                       # [S,B,N,3]
 
         # real (world-frame) joint axis (ref :3095-3102)
-        ax_sel = jnp.take_along_axis(
-            defined_axis, slot_orbits[:, :1, None], axis=1
-        )[:, 0]                                                    # [B, 3]
-        real_axis = jnp.einsum("bij,bj->bi", sel_anchor[:, 0], ax_sel)
+        real_axis = jnp.einsum("bij,bj->bi", sel_anchor[:, 0], ax_line_sel)
+        # pivot-offset scalar exposed for eval (ref _38:1129-1130 uses the
+        # plain norm of the shared pivot point)
+        offset_pivot = jnp.linalg.norm(pv0, axis=-1)               # [B]
 
         return {
             "loss": loss,
@@ -372,6 +554,7 @@ class SlotPoseModel(nn.Module):
             "slot_orbits": slot_orbits,
             "selected_anchors": sel_anchor,
             "real_defined_axis": real_axis,
+            "offset_pivot_points": offset_pivot,
             "base_slot": base_slot,
             "x_next": x_next,
             "selected_pair_axes": sel_axes,

@@ -18,7 +18,10 @@ from .decoders import (
     DecoderFCAtlas,
     DecoderFCAxis,
     DecoderFCWithCuboid,
+    DecoderFCWithPVPCuboid,
     DecoderFCWithPVP,
     DecoderFCWithPVPAtlas,
     DecoderFCWithPVPConstantCommon,
+    cuboid_axis_normal_loss,
+    cuboid_fit_loss,
 )

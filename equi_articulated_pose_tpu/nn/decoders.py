@@ -156,18 +156,94 @@ class DecoderFCAxis(nn.Module):
         return safe_normalize(nn.Dense(3)(MLP(self.n_features)(x)))
 
 
-def cuboid_constraint_loss(points: jnp.ndarray, extents: jnp.ndarray, R: jnp.ndarray):
-    """Penalty keeping decoded points inside a learned cuboid (ref
-    cuboid-constraint losses, ``model_util.py:966-1593``, simplified):
-    points [B, M, 3] (centred), extents [B, 3] (>0), R [B, 3, 3]."""
-    local = jnp.einsum("bij,bmj->bmi", jnp.swapaxes(R, -1, -2), points)
-    excess = jnp.abs(local) - extents[:, None, :]
-    return jnp.mean(jnp.sum(jax.nn.relu(excess) ** 2, axis=-1))
+def cuboid_fit_loss(
+    pred_R: jnp.ndarray,     # [B, S, 3, 3] selected slot rotations
+    pred_T: jnp.ndarray,     # [B, S, 3]
+    xyz: jnp.ndarray,        # [B, N, 3] input cloud
+    cub_x: jnp.ndarray,      # [B, S, 3]  cuboid extents
+    cub_R: jnp.ndarray,      # [B, S, 3, 3] cuboid orientation
+    one_hot: jnp.ndarray,    # [B, N, S] hard labels
+    attn: jnp.ndarray,       # [B, S, N]
+) -> jnp.ndarray:
+    """The reference cuboid-containment loss (``model_util.py:1252-1334``):
+    inverse-transform each slot's input points into the cuboid frame; inlier
+    points pay the mean of their two smallest squared face distances, outlier
+    points the largest violating-axis face distance; attention-weighted mean
+    over points, averaged over non-empty slots.  Returns [B]."""
+    # local = cub_R^T (pred_R^T (x - T))
+    diff = xyz[:, None, :, :] - pred_T[:, :, None, :]            # [B,S,N,3]
+    inv = jnp.einsum("bsji,bsnj->bsni", pred_R, diff)
+    local = jnp.einsum("bsji,bsnj->bsni", cub_R, inv)            # [B,S,N,3]
+    half = cub_x[:, :, None, :] / 2.0
+    d_min_face = (local + half) ** 2                              # to -x face
+    d_max_face = (half - local) ** 2                              # to +x face
+    d_face = jnp.minimum(d_min_face, d_max_face)                  # [B,S,N,3]
+    inlier_xyz = (local <= half) & (local >= -half)               # per-axis
+    inlier_pts = inlier_xyz.sum(-1) > 2.5                         # [B,S,N]
+    outlier_dist = jnp.max(jnp.where(inlier_xyz, 0.0, d_face), axis=-1)
+    sorted_d = jnp.sort(d_face, axis=-1)
+    inlier_dist = sorted_d[..., :2].mean(-1)
+    d = jnp.where(inlier_pts, inlier_dist, outlier_dist)          # [B,S,N]
+    soft_w = one_hot.transpose(0, 2, 1) * attn                    # [B,S,N]
+    per_slot = jnp.sum(d * soft_w, -1) / jnp.clip(jnp.sum(soft_w, -1), 1e-8)
+    ind = (one_hot.sum(1) > 0.5).astype(d.dtype)                  # [B,S]
+    return jnp.sum(per_slot * ind, -1) / jnp.clip(jnp.sum(ind, -1), 1e-8)
+
+
+def cuboid_axis_normal_loss(
+    pv_points: jnp.ndarray,       # [B, S, 3]
+    central_points: jnp.ndarray,  # [B, S, 3]
+    cub_x: jnp.ndarray,           # [B, S, 3]
+    cub_R: jnp.ndarray,           # [B, S, 3, 3]
+    axis: jnp.ndarray,            # [B, 3] shared joint axis
+) -> jnp.ndarray:
+    """dot(axis, nearest-cuboid-face normal) coupling (ref
+    ``model_util.py:1553-1592``): the joint axis should be orthogonal to the
+    face of each slot's cuboid nearest the shared pivot.  Returns [B]."""
+    B, S, _ = central_points.shape
+    pv0 = jnp.broadcast_to(pv_points[:, :1, :], (B, S, 3))
+    local = jnp.einsum(
+        "bsji,bsj->bsi", cub_R, pv0 - central_points
+    )                                                             # [B,S,3]
+    half = cub_x / 2.0
+    d_min = jnp.abs(local + half)
+    d_max = jnp.abs(local - half)
+    d_pair = jnp.stack([d_min, d_max], axis=-1)                   # [B,S,3,2]
+    face_idx = jnp.argmin(d_pair, axis=-1)                        # [B,S,3]
+    d_axis = jnp.min(d_pair, axis=-1)                             # [B,S,3]
+    axis_idx = jnp.argmin(d_axis, axis=-1)                        # [B,S]
+    sel_face = jnp.take_along_axis(face_idx, axis_idx[..., None], -1)[..., 0]
+    sign = jnp.where(sel_face == 0, -1.0, 1.0)                    # min face: -n
+    normal_local = jax.nn.one_hot(axis_idx, 3) * sign[..., None]  # [B,S,3]
+    world_n = jnp.einsum("bsij,bsj->bsi", cub_R, normal_local)
+    dot = jnp.sum(
+        axis[:, None, :] * jax.lax.stop_gradient(world_n), -1
+    ).mean(-1)
+    return jnp.abs(dot)
+
+
+class _CuboidBranch(nn.Module):
+    """Learned cuboid extents + orientation from the slot latent."""
+
+    n_features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        ext = (
+            jax.nn.sigmoid(nn.Dense(3)(MLP(self.n_features, name="ext_mlp")(x)))
+            * 0.5
+            + 1e-3
+        )
+        from ..geom.so3 import ortho6d_to_matrix
+
+        R = ortho6d_to_matrix(nn.Dense(6)(MLP(self.n_features, name="rot_mlp")(x)))
+        return ext, R
 
 
 class DecoderFCWithCuboid(nn.Module):
-    """DecoderFC + learned cuboid (extent + rotation) with containment loss
-    (recon_prior=5)."""
+    """DecoderFC + learned cuboid (extent + rotation) (recon_prior=5).
+    Returns (points, extents, cuboid_R); the containment loss is computed by
+    the model against the slot's input points (ref unsup_..._38:1764-1800)."""
 
     n_features: Sequence[int]
     output_pts: int
@@ -175,9 +251,20 @@ class DecoderFCWithCuboid(nn.Module):
     @nn.compact
     def __call__(self, x):
         pts = DecoderFC(self.n_features, self.output_pts, name="shape")(x)
-        ext = jax.nn.sigmoid(nn.Dense(3)(MLP(self.n_features, name="ext_mlp")(x))) * 0.5 + 1e-3
-        from ..geom.so3 import ortho6d_to_matrix
+        ext, R = _CuboidBranch(self.n_features, name="cuboid")(x)
+        return pts, ext, R
 
-        R = ortho6d_to_matrix(nn.Dense(6)(MLP(self.n_features, name="rot_mlp")(x)))
-        loss = cuboid_constraint_loss(pts - 0.5, ext, R)
-        return pts, loss, ext, R
+
+class DecoderFCWithPVPCuboid(nn.Module):
+    """PVP decoder + cuboid branch (recon_prior=7)."""
+
+    n_features: Sequence[int]
+    output_pts: int
+
+    @nn.compact
+    def __call__(self, x, pv_feat=None, central_feat=None):
+        pts, pv, cp = DecoderFCWithPVP(
+            self.n_features, self.output_pts, name="pvp"
+        )(x, pv_feat, central_feat)
+        ext, R = _CuboidBranch(self.n_features, name="cuboid")(x)
+        return pts, pv, cp, ext, R

@@ -1,10 +1,11 @@
 """Chamfer distance (bidirectional nearest-neighbour), TPU-native.
 
 Replaces the reference CUDA extension ``extensions/chamfer_dist/chamfer.cu``
-(N9 in SURVEY.md).  The XLA path forms the pairwise distance matrix with an
-MXU matmul and reduces; a fused Pallas kernel (``ops/pallas/chamfer.py``) is
-used on TPU for large point counts where materialising [N, M] in HBM for the
-backward would dominate.
+(N9 in SURVEY.md).  The XLA path here forms the pairwise distance matrix with
+an MXU matmul and reduces; at the model's shipped shapes (N <= 512) it beats
+the fused Pallas kernel (``ops/pallas/chamfer.py``), which is kept — with a
+custom VJP that rematerialises instead of storing [N, M] — as the scaling
+path for large point counts and is NOT dispatched to automatically.
 
 API mirrors the reference autograd function
 (``extensions/chamfer_dist/__init__.py:13-45``): returns squared distances

@@ -31,7 +31,7 @@ from ..parallel.dp import make_dp_train_step, per_device_rngs, replicate, shard_
 from ..parallel.mesh import DATA_AXIS, make_mesh
 from ..utils import Logger, Summary, Timer
 from .checkpoint import load_checkpoint, safe_load_common, save_checkpoint
-from .schedule import make_optimizer
+from .schedule import PlateauState, make_optimizer
 
 
 class Trainer:
@@ -60,6 +60,12 @@ class Trainer:
         self.optimizer = make_optimizer(
             cfg.train.init_lr, cfg.train.lr_type, cfg.train.decay_rate,
             cfg.train.decay_step,
+        )
+        # loss-plateau lr adjustment (ref adjust_lr_by_loss, trainer:1119-1131)
+        self.plateau = (
+            PlateauState(cfg.train.init_lr, cfg.train.decay_rate)
+            if cfg.train.lr_type == "plateau"
+            else None
         )
 
         self.dataset = build_dataset(cfg.data, split="train")
@@ -105,7 +111,7 @@ class Trainer:
         xyz = batch["pc"]
         if self.stage == 0:
             out, mstate = self.model.apply(
-                params, xyz, mutable=["batch_stats"]
+                params, xyz, mutable=["batch_stats", "state"]
             )
             metrics = {"recon_l1": out["recon_l1"]}
             return out["loss"], (metrics, mstate)
@@ -116,7 +122,7 @@ class Trainer:
             g = self.glb_model.apply(jax.lax.stop_gradient(self.glb_params), xyz)
             xyz = jax.lax.stop_gradient(g["inv_pts"])
         (loss, out), mstate = self.model.apply(
-            params, xyz, rng, axis_prior, mutable=["batch_stats"]
+            params, xyz, rng, axis_prior, mutable=["batch_stats", "state"]
         )
         metrics = {
             "glb_loss": out["glb_loss"],
@@ -204,6 +210,37 @@ class Trainer:
             # far faster than host data generation anyway.
             jax.block_until_ready(metrics["loss"])
             step += 1
+            if self.plateau is not None:
+                cur = float(np.asarray(jax.device_get(metrics["loss"])).mean())
+                prev_lr = self.plateau.lr
+                new_lr = self.plateau.update(cur)
+                if new_lr != prev_lr:
+                    self.log.info(f"plateau: lr -> {new_lr:.3e}")
+                    opt_state = opt_state._replace(
+                        hyperparams={
+                            **opt_state.hyperparams,
+                            "learning_rate": replicate(
+                                jnp.asarray(new_lr, dtype=jnp.float32),
+                                self.mesh,
+                            ),
+                        }
+                    )
+            if (
+                cfg.train.eval_freq > 0
+                and self.stage == 1
+                and step % cfg.train.eval_freq == 0
+            ):
+                try:
+                    em = self.run_in_train_eval(params)
+                    self.log.info(
+                        "eval@%d: %s"
+                        % (
+                            step,
+                            " ".join(f"{k}={v:.4f}" for k, v in sorted(em.items())),
+                        )
+                    )
+                except Exception as e:  # pragma: no cover
+                    self.log.info(f"in-train eval failed: {e}")
             if step % cfg.train.log_freq == 0 or step == 1:
                 m = jax.device_get(metrics)
                 self.summary.update(
@@ -219,6 +256,47 @@ class Trainer:
         self.opt_state = opt_state
         self.axis_prior = axis_prior
         return params
+
+    def run_in_train_eval(self, params, max_batches: int = 5):
+        """Light two-pass eval at eval_freq (wired; ref leaves eval manual).
+
+        Uses few batches so the train loop is not stalled; reports the key
+        parity metrics (IoU / rot / trans / axis)."""
+        from ..eval.evaluator import Evaluator
+
+        if not hasattr(self, "_eval_ctx"):
+            canon_ds = build_dataset(
+                self.cfg.data, split="train", canonical_input=True
+            )
+            test_ds = build_dataset(self.cfg.data, split="test")
+            bs = self.cfg.train.batch_size
+            self._eval_ctx = (
+                DataLoader(canon_ds, bs, shuffle=False, prefetch=0),
+                DataLoader(test_ds, bs, shuffle=False, prefetch=0),
+                SlotPoseModel(cfg=self.cfg.model),
+                GlobalAlignModel(cfg=self.cfg.model)
+                if self.glb_params is not None
+                else None,
+            )
+        canon_loader, test_loader, eval_model, eval_glb = self._eval_ctx
+        ev = Evaluator(
+            self.cfg, eval_model, jax.device_get(params), eval_glb,
+            self.glb_params,
+        )
+        deltas = ev.fit_deltas(
+            canon_loader, jax.random.PRNGKey(0), max_batches=max_batches
+        )
+        m = ev.evaluate(test_loader, deltas, max_batches=max_batches)
+        keep = (
+            "seg_iou", "axis_err_deg_mean", "pv_offset_err_mean", "chamfer_l1",
+        )
+        out = {k: m[k] for k in keep if k in m}
+        for k, v in m.items():
+            if k.startswith("rot_err_deg_part") and k.endswith("_mean"):
+                out[k] = v
+            if k.startswith("trans_err_part") and k.endswith("_mean"):
+                out[k] = v
+        return out
 
     def save(self, params, step: int):
         path = os.path.join(

@@ -74,3 +74,38 @@ def test_multitask_detection_loss(rng):
     )
     assert float(reg) < 1e-6
     assert float(ang) < 0.5
+
+
+def test_primitive_net_heads(rng):
+    from equi_articulated_pose_tpu.models.baselines import (
+        PrimitiveNet,
+        segment_from_embedding,
+    )
+
+    xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    net = PrimitiveNet(emb_size=16, k=8)
+    params = net.init(jax.random.PRNGKey(3), xyz)
+    emb, type_pp, normal = net.apply(params, xyz)
+    assert emb.shape == (2, 64, 16)
+    assert type_pp.shape == (2, 64, 8)
+    # log-softmax normalisation
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(type_pp).sum(-1)), 1.0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(normal, axis=-1)), 1.0, atol=1e-4
+    )
+    labels = segment_from_embedding(emb, n_parts=2)
+    assert labels.shape == (2, 64)
+    assert set(np.unique(np.asarray(labels))) <= {0, 1}
+
+
+def test_pointnetpp_features(rng):
+    from equi_articulated_pose_tpu.models.baselines import PointnetPP
+
+    xyz = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    net = PointnetPP()
+    params = net.init(jax.random.PRNGKey(4), xyz)
+    feats = net.apply(params, xyz)
+    assert feats.shape == (2, 128, 128)
+    assert np.isfinite(np.asarray(feats)).all()

@@ -122,8 +122,12 @@ def test_decoders():
 
     dec4 = enn.DecoderFCWithCuboid(n_features=(32,), output_pts=8)
     p4 = dec4.init(jax.random.PRNGKey(18), x)
-    pts4, loss4, ext4, R4 = dec4.apply(p4, x)
-    assert pts4.shape == (2, 8, 3) and np.isfinite(float(loss4))
+    pts4, ext4, R4 = dec4.apply(p4, x)
+    assert pts4.shape == (2, 8, 3) and ext4.shape == (2, 3)
+    # orthonormal cuboid orientation
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bij,bkj->bik", R4, R4)),
+        np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-5)
 
     dec5 = enn.DecoderFCAxis(n_features=(32,))
     p5 = dec5.init(jax.random.PRNGKey(19), x)
