@@ -57,6 +57,9 @@ class ModelConfig:
     permute_modes: int = 1
     rot_angle_factor: float = 0.5
     axis_reg_stra: int = 0
+    # spherical-cap (near-vertical) axis parameterisation
+    # (--mtx-based-axis-regression, eyeglasses recipe)
+    mtx_based_axis_regression: bool = False
 
 
 @dataclass(frozen=True)
@@ -69,6 +72,9 @@ class TrainConfig:
     decay_rate: float = 0.7
     decay_step: int = 20000
     num_iterations: int = 1_000_000
+    # optimizer steps executed per jitted dispatch (lax.scan): amortises the
+    # per-call RPC overhead of relayed TPU backends; 1 = classic stepping
+    steps_per_call: int = 1
     save_freq: int = 200
     log_freq: int = 20
     eval_freq: int = 2000
@@ -141,7 +147,8 @@ PRESETS: dict[str, Config] = {
     # use_equi=35: eyeglasses, 3 slots / 2 revolute joints, 2D product anchors
     # (scripts/train/eyeglasses.sh: --use-2d=1 --num-iters=1)
     "eyeglasses": _cfg("eyeglasses", nmasks=3, input_num=480, num_iters=1,
-                       part_pred_npoints=100, use_2d=True),
+                       part_pred_npoints=100, use_2d=True,
+                       mtx_based_axis_regression=True),
     # use_equi=39: drawer, prismatic, 4 slots
     "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
                    dataset_type="sapien"),

@@ -147,6 +147,8 @@ class SyntheticDataset:
         density: float = 2000.0,
         cache_base: bool = True,
         partial_view: bool = False,
+        cache_samples: bool = True,
+        cache_limit: int = 4096,
     ):
         self.shape_type = shape_type
         self.split = split
@@ -160,6 +162,12 @@ class SyntheticDataset:
         self.density = density
         self.cache_base = cache_base
         self.partial_view = partial_view
+        # samples are deterministic per index (int-seeded), so full-sample
+        # memoisation is sound; the 4096-pt numpy FPS per sample otherwise
+        # bottlenecks the TPU step (~0.5 s/sample vs ~0.1 s/step)
+        self.cache_samples = cache_samples
+        self.cache_limit = cache_limit
+        self._sample_cache: dict = {}
         self._base_cache: dict = {}
         base = seed + (0 if split == "train" else 10_000)
         self._shape_seeds = [base + i for i in range(n_shapes)]
@@ -172,6 +180,14 @@ class SyntheticDataset:
         return self.n_shapes * self.n_samples
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        if self.cache_samples and index in self._sample_cache:
+            return self._sample_cache[index]
+        sample = self._build_item(index)
+        if self.cache_samples and len(self._sample_cache) < self.cache_limit:
+            self._sample_cache[index] = sample
+        return sample
+
+    def _build_item(self, index: int) -> Dict[str, np.ndarray]:
         shape_idx, sample_idx = index // self.n_samples, index % self.n_samples
         rng = np.random.RandomState(hash((self._shape_seeds[shape_idx], sample_idx)) % (2**31))
         if self.cache_base and shape_idx in self._base_cache:

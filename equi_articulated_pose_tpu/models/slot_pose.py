@@ -170,6 +170,7 @@ class SlotPoseModel(nn.Module):
                 # (ref scripts pass --translation=0 for the 38 recipes)
                 pred_t=c.pred_t and not self.trans_from_pv,
                 pred_axis=c.pred_axis,
+                mtx_axis=c.mtx_based_axis_regression,
                 **head_kw,
             )
         self.anchors_const = jnp.asarray(
@@ -340,6 +341,10 @@ class SlotPoseModel(nn.Module):
             slot_T = jnp.einsum("bsaij,bsaj->bsai", R_mtx, diff) + pv0[:, None, None, :]
         else:
             slot_T = jnp.moveaxis(rt["T"], 0, 1)                # [B, S, A, 3]
+        if c.shape_type == "drawer":
+            # the drawer recipe fixes slot 0 (the cabinet): zero translation
+            # (ref unsup_..._38:1281-1284 / _39)
+            slot_T = slot_T.at[:, 0].set(0.0)
 
         # anchor composition (ref :2466-2468)
         slot_R_full = jnp.einsum("aij,bsajk->bsaik", anchors, R_mtx)

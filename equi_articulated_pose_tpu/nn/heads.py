@@ -78,6 +78,11 @@ class SO3PoseHead(nn.Module):
     axis_name: Optional[str] = None
     global_scalar: bool = True
     use_offset: bool = True
+    # spherical-cap axis parameterisation (--mtx-based-axis-regression, the
+    # eyeglasses recipe): azimuth alpha in [0, 2pi), elevation within
+    # max_axis_angle of +y (ref model_utils.py:593-630)
+    mtx_axis: bool = False
+    max_axis_angle_deg: float = 45.0
 
     @nn.compact
     def __call__(
@@ -100,7 +105,24 @@ class SO3PoseHead(nn.Module):
         if self.pred_axis:
             from ..geom.so3 import safe_normalize
 
-            out["axis"] = safe_normalize(nn.Dense(3, name="axis_reg")(pooled))
+            if self.mtx_axis:
+                ab = jax.nn.sigmoid(nn.Dense(2, name="axis_reg")(pooled))
+                alpha, beta = ab[..., 0], ab[..., 1]
+                mx = self.max_axis_angle_deg
+                elev = (mx / 180.0) * beta * jnp.pi + (
+                    (90.0 - mx) / 180.0
+                ) * jnp.pi
+                xz = jnp.cos(elev)
+                out["axis"] = jnp.stack(
+                    [
+                        jnp.cos(alpha * 2.0 * jnp.pi) * xz,
+                        jnp.sin(elev),
+                        jnp.sin(alpha * 2.0 * jnp.pi) * xz,
+                    ],
+                    axis=-1,
+                )
+            else:
+                out["axis"] = safe_normalize(nn.Dense(3, name="axis_reg")(pooled))
 
         if self.pred_pv_points:
             pv = jax.nn.sigmoid(nn.Dense(3, name="pv_reg")(pooled)) - 0.5

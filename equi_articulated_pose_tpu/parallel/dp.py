@@ -93,6 +93,69 @@ def make_dp_train_step(
     return step
 
 
+def make_dp_multi_train_step(
+    loss_fn: Callable[..., tuple],
+    optimizer,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    donate: bool = True,
+):
+    """Like make_dp_train_step, but executes K optimizer steps per dispatch
+    via ``lax.scan`` over stacked batches — one host->device transfer and one
+    RPC round-trip per K steps.  On relayed TPU backends the per-call
+    overhead (~0.3-0.9 s) otherwise dominates the ~0.1 s step.
+
+    step(variables, opt_state, batches, rngs) where every batch leaf has a
+    leading [K, ...] axis and rngs is [K, n_dev, 2]; returns mean metrics.
+    """
+
+    def _local_step(variables, opt_state, batch, rng):
+        rng = rng[0]
+        params, rest = _split_variables(variables)
+
+        def lf(p):
+            return loss_fn({"params": p, **rest}, batch, rng)
+
+        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+            lf, has_aux=True
+        )(params)
+        grads = jax.lax.pmean(grads, axis_name)
+        metrics = jax.lax.pmean({**metrics, "loss": loss}, axis_name)
+        new_state = jax.lax.pmean(new_state, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return {"params": params, **new_state}, opt_state, metrics
+
+    def _local_multi(variables, opt_state, batches, rngs):
+        def body(carry, xs):
+            v, o = carry
+            b, r = xs
+            v, o, m = _local_step(v, o, b, r)
+            return (v, o), m
+
+        (variables, opt_state), ms = jax.lax.scan(
+            body, (variables, opt_state), (batches, rngs)
+        )
+        return variables, opt_state, jax.tree_util.tree_map(
+            lambda x: x.mean(0), ms
+        )
+
+    sharded = shard_map(
+        _local_multi,
+        mesh=mesh,
+        # batches: [K, B/n_dev, ...] per device -> shard axis 1
+        in_specs=(P(), P(), P(None, axis_name), P(None, axis_name)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step(variables, opt_state, batches, rngs):
+        return sharded(variables, opt_state, batches, rngs)
+
+    return step
+
+
 def make_dp_train_step_with_state(
     loss_fn: Callable[..., tuple],
     optimizer,

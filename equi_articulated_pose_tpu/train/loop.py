@@ -27,6 +27,8 @@ from ..config import Config
 from ..data import DataLoader, build_dataset
 from ..eval.metrics import matched_seg_iou
 from ..models import GlobalAlignModel, SlotPoseModel
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from ..parallel.dp import make_dp_train_step, per_device_rngs, replicate, shard_batch
 from ..parallel.mesh import DATA_AXIS, make_mesh
 from ..utils import Logger, Summary, Timer
@@ -148,6 +150,10 @@ class Trainer:
     def _uses_axis_prior(self) -> bool:
         return self.stage == 1 and not self.cfg.model.slot_single_mode
 
+    @property
+    def _k_per_call(self) -> int:
+        return max(1, self.cfg.train.steps_per_call) if not self._uses_axis_prior else 1
+
     def _build_step(self):
         if self._uses_axis_prior:
             from ..parallel.dp import make_dp_train_step_with_state
@@ -157,6 +163,12 @@ class Trainer:
                 self.optimizer,
                 self.mesh,
                 DATA_AXIS,
+            )
+        elif self._k_per_call > 1:
+            from ..parallel.dp import make_dp_multi_train_step
+
+            self._step_fn = make_dp_multi_train_step(
+                self._loss_fn, self.optimizer, self.mesh, DATA_AXIS
             )
         else:
             self._step_fn = make_dp_train_step(
@@ -188,28 +200,53 @@ class Trainer:
         step_keys = ("pc",) if self.stage == 0 else ("pc", "label", "pose_segs")
 
         timer = Timer()
+        K = self._k_per_call
         batch = first
         step = 0
+        last_log = last_save = last_eval = 0
+        last_log_step = 0
         while step < num_steps:
-            sb = shard_batch(
-                {k: jnp.asarray(batch[k]) for k in step_keys}, self.mesh
-            )
             self.rng, sub = jax.random.split(self.rng)
-            rngs = per_device_rngs(sub, self.mesh)
-            if self._uses_axis_prior:
-                params, axis_prior, opt_state, metrics = self._step_fn(
-                    params, axis_prior, opt_state, sb, rngs
+            if K > 1:
+                group = [batch]
+                while len(group) < K:
+                    group.append(next(it))
+                stacked = {
+                    k: np.stack([np.asarray(b[k]) for b in group])
+                    for k in step_keys
+                }
+                sb = jax.device_put(
+                    stacked,
+                    NamedSharding(self.mesh, P(None, DATA_AXIS)),
                 )
-            else:
+                rngs = jax.vmap(
+                    lambda r: per_device_rngs(r, self.mesh)
+                )(jax.random.split(sub, K))
+                rngs = jax.device_put(
+                    rngs, NamedSharding(self.mesh, P(None, DATA_AXIS))
+                )
                 params, opt_state, metrics = self._step_fn(
                     params, opt_state, sb, rngs
                 )
-            # Synchronise every step: on relayed TPU backends an unbounded
+            else:
+                sb = shard_batch(
+                    {k: jnp.asarray(batch[k]) for k in step_keys}, self.mesh
+                )
+                rngs = per_device_rngs(sub, self.mesh)
+                if self._uses_axis_prior:
+                    params, axis_prior, opt_state, metrics = self._step_fn(
+                        params, axis_prior, opt_state, sb, rngs
+                    )
+                else:
+                    params, opt_state, metrics = self._step_fn(
+                        params, opt_state, sb, rngs
+                    )
+            # Synchronise every call: on relayed TPU backends an unbounded
             # async dispatch queue degrades to seconds per step (measured
             # 4.2s/step unblocked vs 0.07s/step blocked); the step itself is
             # far faster than host data generation anyway.
             jax.block_until_ready(metrics["loss"])
-            step += 1
+            step += K
             if self.plateau is not None:
                 cur = float(np.asarray(jax.device_get(metrics["loss"])).mean())
                 prev_lr = self.plateau.lr
@@ -228,8 +265,9 @@ class Trainer:
             if (
                 cfg.train.eval_freq > 0
                 and self.stage == 1
-                and step % cfg.train.eval_freq == 0
+                and step // cfg.train.eval_freq > last_eval
             ):
+                last_eval = step // cfg.train.eval_freq
                 try:
                     em = self.run_in_train_eval(params)
                     self.log.info(
@@ -241,15 +279,18 @@ class Trainer:
                     )
                 except Exception as e:  # pragma: no cover
                     self.log.info(f"in-train eval failed: {e}")
-            if step % cfg.train.log_freq == 0 or step == 1:
+            if step // cfg.train.log_freq > last_log or step <= K:
                 m = jax.device_get(metrics)
                 self.summary.update(
-                    time=timer.tick() / max(1, cfg.train.log_freq),
+                    time=timer.tick() / max(1, step - last_log_step),
                     **{k: float(np.asarray(v).mean()) for k, v in m.items()},
                 )
                 self.log.info(f"step {step}: {self.summary.format()}")
-            if step % cfg.train.save_freq == 0:
+                last_log = step // cfg.train.log_freq
+                last_log_step = step
+            if step // cfg.train.save_freq > last_save:
                 self.save(params, step)
+                last_save = step // cfg.train.save_freq
             batch = next(it)
 
         self.params = params

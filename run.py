@@ -48,6 +48,9 @@ def build_argparser():
     t.add_argument("--resume-glb", default=None,
                    help="stage-0 checkpoint for frozen pre-alignment")
     t.add_argument("--no-global-rot", action="store_true")
+    t.add_argument("--steps-per-call", type=int, default=None,
+                   help="optimizer steps per jitted dispatch (amortises RPC"
+                        " overhead on relayed TPU backends)")
 
     e = sub.add_parser("eval")
     common(e)
@@ -83,6 +86,8 @@ def _make_cfg(args):
         train_kw["num_iterations"] = args.steps
     if getattr(args, "no_global_rot", False):
         train_kw["global_rot"] = False
+    if getattr(args, "steps_per_call", None):
+        train_kw["steps_per_call"] = args.steps_per_call
     if train_kw:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
     return cfg

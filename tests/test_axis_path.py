@@ -192,3 +192,17 @@ def test_partial_view_deterministic_across_processes():
         assert r.returncode == 0, r.stderr[-2000:]
         outs.add(r.stdout.strip())
     assert len(outs) == 1, outs
+
+
+def test_mtx_based_axis_regression():
+    """Spherical-cap axis parameterisation (eyeglasses recipe): unit axes
+    within 45 deg of +y (ref model_utils.py:593-630)."""
+    cfg = _tiny(mtx_based_axis_regression=True, representation="angle")
+    model = SlotPoseModel(cfg=cfg)
+    params, xyz = _init(model, cfg)
+    (loss, out), _ = model.apply(
+        params, xyz, jax.random.PRNGKey(2), mutable=["batch_stats", "state"]
+    )
+    assert np.isfinite(float(loss))
+    ax = np.asarray(out["real_defined_axis"])
+    np.testing.assert_allclose(np.linalg.norm(ax, axis=-1), 1.0, atol=1e-4)
