@@ -28,6 +28,7 @@ class ModelConfig:
     norm: str = "batch"
     compute_dtype: str = "float32"
     chunk_a: int = 0                     # anchor chunking for inter conv
+    fused_interconv: bool = False        # fused Pallas inter-conv kernel
 
     # behaviour (equi_settings group)
     num_iters: int = 2

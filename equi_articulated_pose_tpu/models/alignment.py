@@ -48,6 +48,7 @@ class GlobalAlignModel(nn.Module):
                 norm=c.norm,
                 chunk_a=c.chunk_a,
                 compute_dtype=c.compute_dtype,
+                fused=c.fused_interconv,
             ),
             axis_name=self.axis_name,
         )

@@ -121,6 +121,7 @@ class SlotPoseModel(nn.Module):
             norm=c.norm,
             chunk_a=c.chunk_a,
             compute_dtype=c.compute_dtype,
+            fused=c.fused_interconv,
         )
         self.backbone = SO3Backbone(specs=specs, axis_name=self.axis_name)
         self.backbone_sec = SO3Backbone(specs=specs, axis_name=self.axis_name)

@@ -48,6 +48,7 @@ class ConvBlockSpec:
     permute_modes: int = 1
     chunk_a: int = 0
     compute_dtype: str = "float32"
+    fused: bool = False         # fused Pallas inter-conv (identity-perm path)
     use_2d: bool = False        # product anchors (60x4 azimuthal) variant
 
 
@@ -70,6 +71,7 @@ class InterSO3ConvBlock(nn.Module):
             permute_modes=s.permute_modes,
             chunk_a=s.chunk_a,
             compute_dtype=s.compute_dtype,
+            fused=s.fused,
         )(x, seg)
         f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(y.feats)
         f = _act(s.activation)(f)
@@ -145,6 +147,7 @@ def make_backbone_specs(
     norm: str = "batch",
     chunk_a: int = 0,
     compute_dtype: str = "float32",
+    fused: bool = False,
     use_2d: bool = False,
 ) -> list[ConvBlockSpec]:
     """Reproduce the radius/sigma ladder of ``build_model``
@@ -187,6 +190,7 @@ def make_backbone_specs(
                     norm=norm,
                     chunk_a=chunk_a,
                     compute_dtype=compute_dtype,
+                    fused=fused,
                     use_2d=use_2d,
                 )
             )

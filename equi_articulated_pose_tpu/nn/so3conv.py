@@ -214,6 +214,7 @@ class InterSO3Conv(nn.Module):
     permute_modes: int = 1
     chunk_a: int = 0
     compute_dtype: str = "float32"
+    fused: bool = False        # fused Pallas kernel (identity-perm path only)
 
     @nn.compact
     def __call__(
@@ -304,7 +305,23 @@ class InterSO3Conv(nn.Module):
             pooled = jnp.max(gc, axis=2, keepdims=True)  # over neighbours
             return jnp.where(cross_part, pooled, gc)
 
-        if self.chunk_a and A > self.chunk_a and A % self.chunk_a == 0:
+        if (
+            self.fused
+            and anchor_perm is None
+            and seg is None
+            and jax.default_backend() == "tpu"
+        ):
+            # fused Pallas path: VMEM-resident anchor-chunked features,
+            # on-the-fly kernel weights, one-hot MXU gather
+            from ..ops.pallas.interconv import inter_conv_fused
+
+            new_feats = inter_conv_fused(
+                feats_c, ball_idx, grouped_xyz, anchors, kernels,
+                self.sigma, W,
+                chunk_a=self.chunk_a or 12,
+                compute_dtype=cdt,
+            )
+        elif self.chunk_a and A > self.chunk_a and A % self.chunk_a == 0:
             # end-to-end anchor chunking: kernel weights, the fused
             # (neighbour, anchor) gather, and the contraction all live per
             # chunk, so nothing of size [B, M, nn, A, C] is ever resident.

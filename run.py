@@ -38,6 +38,8 @@ def build_argparser():
         sp.add_argument("--compute-dtype", default=None,
                         help="float32 | bfloat16")
         sp.add_argument("--chunk-a", type=int, default=None)
+        sp.add_argument("--fused", action="store_true",
+                        help="fused Pallas inter-conv kernel (TPU)")
 
     t = sub.add_parser("train")
     common(t)
@@ -75,6 +77,8 @@ def _make_cfg(args):
         model_kw["compute_dtype"] = args.compute_dtype
     if args.chunk_a is not None:
         model_kw["chunk_a"] = args.chunk_a
+    if getattr(args, "fused", False):
+        model_kw["fused_interconv"] = True
     if model_kw:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
     train_kw = {}

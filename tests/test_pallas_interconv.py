@@ -1,0 +1,56 @@
+"""Fused Pallas inter-conv kernel: numerics vs the XLA composition
+(interpret mode on CPU; the TPU lowering is exercised by the bench)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from equi_articulated_pose_tpu.geom import so3
+from equi_articulated_pose_tpu.geom.kernels import (
+    KERNEL_CONDENSE_RATIO,
+    spherical_kernel_points,
+)
+from equi_articulated_pose_tpu.ops.pallas.interconv import (
+    inter_conv_fused,
+    inter_conv_fused_reference,
+)
+
+
+def _setup(B=2, N=96, C=16, D=32, nn=8, M=96, ks_level=1, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = jnp.asarray(rng.randn(B, N, 60, C).astype(np.float32))
+    ball = jnp.asarray(rng.randint(0, N, (B, M, nn)).astype(np.int32))
+    gx = jnp.asarray(rng.randn(B, M, nn, 3).astype(np.float32) * 0.1)
+    anchors = jnp.asarray(so3.get_anchors(60))
+    kern = jnp.asarray(
+        spherical_kernel_points(KERNEL_CONDENSE_RATIO * 0.4, ks_level)
+    )
+    W = jnp.asarray(rng.randn(kern.shape[0], C, D).astype(np.float32) * 0.05)
+    return feats, ball, gx, anchors, kern, W
+
+
+def test_fused_interconv_matches_reference():
+    feats, ball, gx, anchors, kern, W = _setup()
+    sigma = 0.1
+    ref = inter_conv_fused_reference(feats, ball, gx, anchors, kern, sigma, W)
+    out = inter_conv_fused(
+        feats, ball, gx, anchors, kern, sigma, W,
+        chunk_a=12, compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_interconv_ragged_m():
+    """M not a multiple of the tile: padded rows must not corrupt output."""
+    feats, ball, gx, anchors, kern, W = _setup(M=50, seed=1)
+    sigma = 0.15
+    ref = inter_conv_fused_reference(feats, ball, gx, anchors, kern, sigma, W)
+    out = inter_conv_fused(
+        feats, ball, gx, anchors, kern, sigma, W,
+        chunk_a=12, compute_dtype=jnp.float32, interpret=True,
+    )
+    assert out.shape == ref.shape == (2, 50, 60, 32)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
