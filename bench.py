@@ -90,7 +90,13 @@ def main():
         params, opt_state, loss = train_step(
             params, opt_state, xyz, jax.random.fold_in(key, i)
         )
-    jax.block_until_ready(loss)
+        # Force REAL materialisation every iteration: on the relayed axon backend
+        # block_until_ready can acknowledge without executing (lazy-until-
+        # fetch), which makes block-only timing measure dispatch rate, not
+        # execution (measured 0.003 s/step "blocked" vs 3.9 s/step fetched in
+        # the same degraded session).  Fetching the scalar loss forces the
+        # step to actually run.
+        float(np.asarray(jax.device_get(loss)).mean())
     dt = time.perf_counter() - t0
     pc_per_sec = batch * n_iters / dt
 
@@ -102,11 +108,13 @@ def main():
         )
         return out["pred_R"]
 
-    jax.block_until_ready(eval_step(params, xyz))
+    jax.device_get(eval_step(params, xyz))
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        r = eval_step(params, xyz)
-    jax.block_until_ready(r)
+    for i in range(n_iters):
+        # vary an input so the relay cannot serve a cached result, and fetch
+        # a scalar to force execution (see the train-loop comment above)
+        r = eval_step(params, xyz + (i * 1e-6))
+        float(np.asarray(jax.device_get(r)).ravel()[0])
     eval_pc_per_sec = batch * n_iters / (time.perf_counter() - t0)
 
     print(

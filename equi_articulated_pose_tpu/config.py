@@ -76,6 +76,10 @@ class TrainConfig:
     # optimizer steps executed per jitted dispatch (lax.scan): amortises the
     # per-call RPC overhead of relayed TPU backends; 1 = classic stepping
     steps_per_call: int = 1
+    # dispatches kept in flight before blocking: 1 = synchronise every call
+    # (safest); N > 1 pipelines N async dispatches to hide the relayed
+    # backend's per-RPC round-trip latency when the relay can overlap them
+    block_every: int = 1
     save_freq: int = 200
     log_freq: int = 20
     eval_freq: int = 2000

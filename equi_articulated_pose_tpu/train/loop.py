@@ -205,12 +205,16 @@ class Trainer:
         step = 0
         last_log = last_save = last_eval = 0
         last_log_step = 0
+        # wall-clock breakdown per log window: host data wait vs device wait
+        t_data = t_block = 0.0
         while step < num_steps:
             self.rng, sub = jax.random.split(self.rng)
             if K > 1:
                 group = [batch]
+                _t0 = time.perf_counter()
                 while len(group) < K:
                     group.append(next(it))
+                t_data += time.perf_counter() - _t0
                 stacked = {
                     k: np.stack([np.asarray(b[k]) for b in group])
                     for k in step_keys
@@ -241,12 +245,17 @@ class Trainer:
                     params, opt_state, metrics = self._step_fn(
                         params, opt_state, sb, rngs
                     )
-            # Synchronise every call: on relayed TPU backends an unbounded
-            # async dispatch queue degrades to seconds per step (measured
-            # 4.2s/step unblocked vs 0.07s/step blocked); the step itself is
-            # far faster than host data generation anyway.
-            jax.block_until_ready(metrics["loss"])
+            # Bounded dispatch pipeline: an *unbounded* async queue degrades
+            # on relayed TPU backends (r1: 4.2s/step unblocked vs 0.07s/step
+            # blocked), but when the relay itself is in a slow-RPC mode
+            # (~4s round-trip regardless of compute) a small in-flight window
+            # hides that latency.  block_every=1 is the classic synchronous
+            # stepping; N keeps at most N dispatches outstanding.
             step += K
+            if (step // K) % max(1, cfg.train.block_every) == 0 or step >= num_steps:
+                _t0 = time.perf_counter()
+                jax.block_until_ready(metrics["loss"])
+                t_block += time.perf_counter() - _t0
             if self.plateau is not None:
                 cur = float(np.asarray(jax.device_get(metrics["loss"])).mean())
                 prev_lr = self.plateau.lr
@@ -281,17 +290,24 @@ class Trainer:
                     self.log.info(f"in-train eval failed: {e}")
             if step // cfg.train.log_freq > last_log or step <= K:
                 m = jax.device_get(metrics)
+                nst = max(1, step - last_log_step)
                 self.summary.update(
-                    time=timer.tick() / max(1, step - last_log_step),
+                    time=timer.tick() / nst,
                     **{k: float(np.asarray(v).mean()) for k, v in m.items()},
                 )
-                self.log.info(f"step {step}: {self.summary.format()}")
+                self.log.info(
+                    f"step {step}: {self.summary.format()}"
+                    f" [data {t_data/nst:.3f}s/st, block {t_block/nst:.3f}s/st]"
+                )
+                t_data = t_block = 0.0
                 last_log = step // cfg.train.log_freq
                 last_log_step = step
             if step // cfg.train.save_freq > last_save:
                 self.save(params, step)
                 last_save = step // cfg.train.save_freq
+            _t0 = time.perf_counter()
             batch = next(it)
+            t_data += time.perf_counter() - _t0
 
         self.params = params
         self.opt_state = opt_state

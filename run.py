@@ -53,6 +53,12 @@ def build_argparser():
     t.add_argument("--steps-per-call", type=int, default=None,
                    help="optimizer steps per jitted dispatch (amortises RPC"
                         " overhead on relayed TPU backends)")
+    t.add_argument("--block-every", type=int, default=None,
+                   help="async dispatches kept in flight before blocking"
+                        " (hides per-RPC latency; 1 = synchronous)")
+    t.add_argument("--eval-freq", type=int, default=None,
+                   help="in-train eval period in steps (0 disables)")
+    t.add_argument("--log-freq", type=int, default=None)
 
     e = sub.add_parser("eval")
     common(e)
@@ -92,14 +98,37 @@ def _make_cfg(args):
         train_kw["global_rot"] = False
     if getattr(args, "steps_per_call", None):
         train_kw["steps_per_call"] = args.steps_per_call
+    if getattr(args, "block_every", None):
+        train_kw["block_every"] = args.block_every
+    if getattr(args, "eval_freq", None) is not None:
+        train_kw["eval_freq"] = args.eval_freq
+    if getattr(args, "log_freq", None):
+        train_kw["log_freq"] = args.log_freq
     if train_kw:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
     return cfg
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: stage-1 compiles take ~8 min on the
+    relayed TPU backend, and the resumable-ladder retry pattern (kill a
+    degraded session, resume from the last periodic checkpoint) recompiles
+    the identical executable each restart without this."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass  # older jax without the knobs — cache is an optimisation only
+
+
 def main():
     args = build_argparser().parse_args()
     cfg = _make_cfg(args)
+    _enable_compile_cache()
 
     if args.cmd == "train":
         import jax
