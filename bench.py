@@ -34,6 +34,17 @@ MAX_SESSIONS = 3
 
 def main():
     import jax
+
+    # persistent compile cache: the stage-1 step graph costs ~8 min to
+    # compile on the relayed backend and is identical across bench sessions
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
     import optax
