@@ -29,6 +29,49 @@ def load_checkpoint(path: str, target: Any):
         return serialization.from_bytes(target, f.read())
 
 
+def save_train_state(path: str, params: Any, opt_state: Any, step: int):
+    """Full-train-state checkpoint: params + optimizer state + step.
+
+    The reference saves weights only (trainer:457-474), which silently resets
+    Adam moments and the LR-schedule position on every resume — a measurable
+    full-lr jolt when a run is resumed mid-decay (observed as joint-axis
+    drift in the round-2 oven run).  Periodic checkpoints therefore carry the
+    whole state; ``load_checkpoint``-style weight-only files remain readable
+    (eval and the two-stage glb protocol keep using plain params files)."""
+    save_checkpoint(
+        path,
+        {
+            "params": jax.device_get(params),
+            "opt_state": serialization.to_state_dict(jax.device_get(opt_state)),
+            "step": int(step),
+        },
+    )
+
+
+def is_train_state(path: str) -> bool:
+    """Cheap sniff: full-train-state files deserialize to a dict with an
+    'opt_state' key when loaded without a target."""
+    with open(path, "rb") as f:
+        try:
+            raw = serialization.msgpack_restore(f.read())
+        except Exception:
+            return False
+    return isinstance(raw, dict) and "opt_state" in raw and "params" in raw
+
+
+def load_train_state(path: str, params_target: Any, opt_target: Any):
+    """-> (params, opt_state, step).  Accepts weight-only files too
+    (opt_state target returned untouched, step 0)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
+        params = serialization.from_state_dict(params_target, raw["params"])
+        opt_state = serialization.from_state_dict(opt_target, raw["opt_state"])
+        return params, opt_state, int(raw.get("step", 0))
+    params = serialization.from_state_dict(params_target, raw)
+    return params, opt_target, 0
+
+
 def safe_load_common(target_params: Any, source_params: Any) -> Any:
     """Key-intersection update: copy every leaf present in both trees with a
     matching shape (ref ``safe_load_ckpt_common``)."""

@@ -104,6 +104,17 @@ class Trainer:
         self.log.info(f"loaded stage-0 weights from {path}")
 
     def resume(self, path: str):
+        from .checkpoint import is_train_state, load_train_state
+
+        if is_train_state(path):
+            # full train state: params + Adam moments + schedule position
+            # (the count inside opt_state), so resumed runs continue the lr
+            # decay instead of jolting back to full lr
+            self.params, self.opt_state, st = load_train_state(
+                path, jax.device_get(self.params), jax.device_get(self.opt_state)
+            )
+            self.log.info(f"resumed full train state (step {st}) from {path}")
+            return
         src = load_checkpoint(path, jax.device_get(self.params))
         self.params, n = safe_load_common(self.params, src)
         self.log.info(f"resumed {n} tensors from {path}")
@@ -303,7 +314,7 @@ class Trainer:
                 last_log = step // cfg.train.log_freq
                 last_log_step = step
             if step // cfg.train.save_freq > last_save:
-                self.save(params, step)
+                self.save(params, step, opt_state)
                 last_save = step // cfg.train.save_freq
             _t0 = time.perf_counter()
             batch = next(it)
@@ -355,9 +366,14 @@ class Trainer:
                 out[k] = v
         return out
 
-    def save(self, params, step: int):
+    def save(self, params, step: int, opt_state=None):
         path = os.path.join(
             self.log_dir, "ckpt", f"{self.cfg.experiment_id}_stage{self.stage}_net_Iter{step}.msgpack"
         )
-        save_checkpoint(path, params)
+        if opt_state is not None:
+            from .checkpoint import save_train_state
+
+            save_train_state(path, params, opt_state, step)
+        else:
+            save_checkpoint(path, params)
         self.log.info(f"saved checkpoint {path}")

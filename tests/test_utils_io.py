@@ -48,3 +48,49 @@ def test_artifacts_roundtrip(tmp_path, rng):
     back = load_artifacts(p)
     np.testing.assert_allclose(back["a"], arrays["a"])
     np.testing.assert_array_equal(back["b"], arrays["b"])
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    """Full-train-state checkpoints restore Adam moments and the schedule
+    position; weight-only files still load (step 0, opt untouched)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from equi_articulated_pose_tpu.train.checkpoint import (
+        is_train_state,
+        load_train_state,
+        save_checkpoint,
+        save_train_state,
+    )
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros((3,))}
+    tx = optax.adam(optax.exponential_decay(1e-3, 100, 0.7))
+    opt = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(5):
+        upd, opt = tx.update(g, opt, params)
+        params = optax.apply_updates(params, upd)
+
+    p = str(tmp_path / "state.msgpack")
+    save_train_state(p, params, opt, 5)
+    assert is_train_state(p)
+
+    fresh_opt = tx.init(jax.tree_util.tree_map(jnp.zeros_like, params))
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    rp, ro, st = load_train_state(p, zeros, fresh_opt)
+    assert st == 5
+    np.testing.assert_allclose(np.asarray(rp["w"]), np.asarray(params["w"]))
+    # Adam count (schedule position) restored
+    counts = [np.asarray(l) for l in jax.tree_util.tree_leaves(ro)
+              if np.asarray(l).dtype == np.int32 and np.asarray(l).shape == ()]
+    assert any(c == 5 for c in counts)
+
+    # weight-only file: not a train state, loads with step 0
+    p2 = str(tmp_path / "weights.msgpack")
+    save_checkpoint(p2, params)
+    assert not is_train_state(p2)
+    rp2, ro2, st2 = load_train_state(p2, zeros, fresh_opt)
+    assert st2 == 0
+    np.testing.assert_allclose(np.asarray(rp2["b"]), np.asarray(params["b"]))
