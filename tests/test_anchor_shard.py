@@ -114,3 +114,49 @@ def test_anchor_pools_sharded_exact(mesh, rng):
     pooled, attn = f_attn(feats, logits)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pool), atol=1e-5)
     np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_ref), atol=1e-6)
+
+
+def test_anchor_sharded_backbone_composition(mesh, rng):
+    """inter -> intra -> attention pool composed entirely under one
+    shard_map, anchors staying sharded between layers: matches the
+    unsharded two-layer backbone exactly."""
+    B, N, C, D1, D2, nn_ = 2, 40, 6, 12, 8, 10
+    anchors = jnp.asarray(so3g.get_anchors(A))
+    kernels = jnp.asarray(spherical_kernel_points(0.4 * 0.7, 1))
+    trace = jnp.asarray(so3g.TRACE_IDX)
+    ks, K = kernels.shape[0], trace.shape[1]
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.3)
+    feats = jnp.asarray(rng.randn(B, N, A, C).astype(np.float32))
+    W1 = jnp.asarray(rng.randn(ks, C, D1).astype(np.float32) * 0.1)
+    W2 = jnp.asarray(rng.randn(K, D1, D2).astype(np.float32) * 0.1)
+    idx = ball_query(xyz, xyz, 0.4, nn_)
+    gx = jnp.take_along_axis(
+        xyz[:, None].repeat(N, 1), idx[..., None], axis=2
+    ) - xyz[:, :, None]
+
+    # unsharded reference: inter -> relu -> intra -> mean over N -> attn pool
+    w = inter_kernel_weights(gx, anchors, kernels, 0.16)
+    h1 = jax.nn.relu(inter_conv_contract(group_points(feats, idx), w, W1))
+    h2 = intra_conv_accumulate(h1, trace, W2)          # [B, N, A, D2]
+    g = jnp.mean(h2, axis=1)                           # [B, A, D2]
+    logits = jnp.sum(g, axis=-1)                       # [B, A]
+    attn_ref = jax.nn.softmax(logits, axis=1)
+    ref = jnp.einsum("ba,bac->bc", attn_ref, g)
+
+    def body(f, i, gxl):
+        h1 = jax.nn.relu(
+            inter_conv_anchor_sharded(f, i, gxl, anchors, kernels, 0.16, W1)
+        )
+        h2 = intra_conv_anchor_sharded(h1, trace, W2)
+        gl = jnp.mean(h2, axis=1)
+        pooled, _ = anchor_attn_pool_sharded(gl, jnp.sum(gl, axis=-1))
+        return pooled
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, None, ANCHOR_AXIS, None), P(), P()),
+        out_specs=P(),
+    )
+    out = fn(feats, idx, gx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
