@@ -59,6 +59,9 @@ def build_argparser():
     t.add_argument("--eval-freq", type=int, default=None,
                    help="in-train eval period in steps (0 disables)")
     t.add_argument("--log-freq", type=int, default=None)
+    t.add_argument("--axis-reg-stra", type=int, default=None,
+                   help="1 = running-mean outlier gate on pivot/axis-line"
+                        " distances (ref --axis-reg-stra)")
 
     e = sub.add_parser("eval")
     common(e)
@@ -85,6 +88,8 @@ def _make_cfg(args):
         model_kw["chunk_a"] = args.chunk_a
     if getattr(args, "fused", False):
         model_kw["fused_interconv"] = True
+    if getattr(args, "axis_reg_stra", None) is not None:
+        model_kw["axis_reg_stra"] = args.axis_reg_stra
     if model_kw:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
     train_kw = {}
