@@ -29,6 +29,11 @@ class ModelConfig:
     compute_dtype: str = "float32"
     chunk_a: int = 0                     # anchor chunking for inter conv
     fused_interconv: bool = False        # fused Pallas inter-conv kernel
+    # rematerialise the anchor-chunk loop in the backward pass (memory vs
+    # recompute).  False trades HBM for ~1/3 fewer executed ops per inter
+    # conv — the right trade when per-op overhead dominates (OPTIMIZATION.md
+    # degraded-mode diagnosis), or when memory headroom allows
+    remat_chunks: bool = True
 
     # behaviour (equi_settings group)
     num_iters: int = 2
@@ -51,6 +56,9 @@ class ModelConfig:
     slot_single_cd: bool = False
     slot_single_mode: bool = True
     sel_mode_trans: Optional[int] = None
+    # take anchor sel_mode's equivariant feature as the slot/pair inv feature
+    # (ref --sel-mode; eyeglasses passes 29)
+    sel_mode: Optional[int] = None
     use_art_mode: bool = False
     use_2d: bool = False                 # product-anchor (60x4) backbone
     with_part_proposal: bool = True
@@ -58,6 +66,11 @@ class ModelConfig:
     permute_modes: int = 1
     rot_angle_factor: float = 0.5
     axis_reg_stra: int = 0
+    # weight of the slot-assignment confidence loss (low entropy over slots
+    # per point, ref common_utils.py:67); 0 disables — the reference ships it
+    # defined but unreferenced, exposed here as an ablation knob for the
+    # segmentation-quality study (RESULTS.md)
+    purity_factor: float = 0.0
     # spherical-cap (near-vertical) axis parameterisation
     # (--mtx-based-axis-regression, eyeglasses recipe)
     mtx_based_axis_regression: bool = False
@@ -149,10 +162,14 @@ PRESETS: dict[str, Config] = {
                    part_pred_npoints=256, representation="angle"),
     "safe": _cfg("safe", nmasks=2, input_num=380, representation="angle",
                  sel_mode_trans=18),
-    # use_equi=35: eyeglasses, 3 slots / 2 revolute joints, 2D product anchors
-    # (scripts/train/eyeglasses.sh: --use-2d=1 --num-iters=1)
+    # use_equi=35: eyeglasses, 3 slots / 2 revolute joints, 2D product
+    # anchors, chain pose modeling (scripts/train/eyeglasses.sh: --use-2d=1
+    # --num-iters=1 --translation=0 --sel-mode=29 --mtx-based-axis-regression;
+    # --translation=0 means NO dense T tower — translations derive from the
+    # chain's pair pivots, so the representation is the angle-about-axis one)
     "eyeglasses": _cfg("eyeglasses", nmasks=3, input_num=480, num_iters=1,
                        part_pred_npoints=100, use_2d=True,
+                       representation="angle", sel_mode=29,
                        mtx_based_axis_regression=True),
     # use_equi=39: drawer, prismatic, 4 slots
     "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",

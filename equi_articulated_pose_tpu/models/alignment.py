@@ -15,7 +15,7 @@ from flax import linen as nn
 from ..config import ModelConfig
 from ..geom import so3 as so3g
 from ..nn.blocks import SO3Backbone, make_backbone_specs
-from ..nn.containers import SpherePoints, identity_pose, preprocess_input
+from ..nn.containers import SpherePoints, preprocess_input
 from ..nn.decoders import DecoderFC
 from ..nn.heads import SO3PoseHead
 from ..nn.outblocks import InvOutBlock
@@ -49,6 +49,7 @@ class GlobalAlignModel(nn.Module):
                 chunk_a=c.chunk_a,
                 compute_dtype=c.compute_dtype,
                 fused=c.fused_interconv,
+            remat_chunks=c.remat_chunks,
             ),
             axis_name=self.axis_name,
         )
@@ -75,7 +76,9 @@ class GlobalAlignModel(nn.Module):
         A = self.cfg.kanchor
         anchors = self.anchors_const
 
-        x = preprocess_input(xyz, A, identity_pose(B, N))
+        # identity per-point poses on the active path: pass pose=None so
+        # InterSO3Conv skips the (identity) anchor permutation entirely
+        x = preprocess_input(xyz, A)
         x = self.backbone(x)
 
         inv_feat, conf = self.outblock(x, mask=None)

@@ -29,7 +29,7 @@ from flax import linen as nn
 from ..config import ModelConfig
 from ..geom import so3 as so3g
 from ..nn.blocks import SO3Backbone, make_backbone_specs
-from ..nn.containers import SpherePoints, identity_pose, preprocess_input
+from ..nn.containers import SpherePoints, preprocess_input
 from ..nn.decoders import (
     DecoderConstantCommon,
     DecoderFC,
@@ -122,6 +122,7 @@ class SlotPoseModel(nn.Module):
             chunk_a=c.chunk_a,
             compute_dtype=c.compute_dtype,
             fused=c.fused_interconv,
+            remat_chunks=c.remat_chunks,
         )
         self.backbone = SO3Backbone(specs=specs, axis_name=self.axis_name)
         self.backbone_sec = SO3Backbone(specs=specs, axis_name=self.axis_name)
@@ -139,6 +140,7 @@ class SlotPoseModel(nn.Module):
         inv_kw = dict(
             mlp=c.out_mlp, temperature=c.temperature, norm=c.norm,
             axis_name=self.axis_name, use_pointnet=True,
+            sel_mode=c.sel_mode,
         )
         # per-slot inv block over the slot's masked points; abs vs relative
         # coordinates per the rel_for_points flag (ref unsup_..._40:209)
@@ -146,15 +148,21 @@ class SlotPoseModel(nn.Module):
             InvOutBlock, S, in_axes=(None, 0),
             use_abs_pos=not c.rel_for_points, **inv_kw
         )
-        # per-slot pair inv block over the whole cloud (ref overrides the pair
-        # subset to the full cloud, unsup_..._40:1810-1811)
+        # Pair inv block: two-part models feed the whole cloud (ref overrides
+        # the pair subset to the full cloud, unsup_..._40:1810-1811); the
+        # >=3-slot chain models feed each ADJACENT-slot pair's union mask
+        # (ref unsup_..._35:540-571) — S-1 joints, S-1 pair modules.
+        n_pair = S - 1 if self.chain_mode else S
         self.pair_slot_outblock = _slot_vmap(
-            InvOutBlock, S, in_axes=(None, None), use_abs_pos=True, **inv_kw
+            InvOutBlock, n_pair,
+            in_axes=(None, 0 if self.chain_mode else None),
+            use_abs_pos=True, **inv_kw
         )
         self.slot_decoder = _slot_vmap(_SlotDecoder, S, in_axes=(0,), cfg=c)
         # pair decoder supplies the pivot point (ref :2014-2020)
         self.pair_slot_decoder = _slot_vmap(
-            DecoderFCWithPVP, S, in_axes=(0,), n_features=(256, 256), output_pts=2
+            DecoderFCWithPVP, n_pair, in_axes=(0,), n_features=(256, 256),
+            output_pts=2,
         )
         head_kw = dict(mlp=c.out_mlp, norm=c.norm, axis_name=self.axis_name)
         if c.joint_type == "prismatic":
@@ -194,6 +202,20 @@ class SlotPoseModel(nn.Module):
             return c.trans_from_pv
         return c.representation == "angle" and c.joint_type != "prismatic"
 
+    @property
+    def chain_mode(self) -> bool:
+        """Transformation-chain pose modeling for >=3 revolute slots (the
+        eyeglasses family, ref ``unsup_..._35:846-895``): the middle slot is
+        the chain base (identity rotation, translation = its central point),
+        every other slot rotates about the shared predicted axis — negated on
+        the side below the base — and translates about its own pair pivot."""
+        c = self.cfg
+        return (
+            c.joint_type != "prismatic"
+            and c.nmasks >= 3
+            and c.representation == "angle"
+        )
+
     # ------------------------------------------------------------------
     def _gate_pv(self, d: jnp.ndarray) -> jnp.ndarray:
         """axis_reg_stra=1 running-mean gate: distances above the running
@@ -224,25 +246,28 @@ class SlotPoseModel(nn.Module):
         per point by the previous hard label (ref :1578-1615)."""
         B, N, _ = xyz.shape
         A = 240 if self.cfg.use_2d else self.cfg.kpconv_kanchor
-        pose = identity_pose(B, N)
+        # Every input cloud here is in its own frame: per-point poses are the
+        # identity on the whole active path (true in the reference's shipped
+        # configs too).  Passing pose=None lets InterSO3Conv skip the
+        # relative-rotation anchor permutation — whose result WOULD be the
+        # identity permutation — saving the per-layer [B,M,nn,3,3] pose
+        # gathers, rel-rot einsums, and 60-anchor nearest-element snaps.
         seg = None
         if self.cfg.use_art_mode and hard_label is not None:
             seg = hard_label  # seg-aware art-mode convolution (ref :1561-1577)
         if x_list is None:
-            x = self.backbone(preprocess_input(xyz, A, pose), seg)
+            x = self.backbone(preprocess_input(xyz, A), seg)
         else:
             S = x_list.shape[0]  # [S, B, N, 3]
             flat = x_list.reshape(S * B, N, 3)
-            fx = self.backbone(
-                preprocess_input(flat, A, identity_pose(S * B, N))
-            )
+            fx = self.backbone(preprocess_input(flat, A))
             feats = fx.feats.reshape(S, B, N, A, -1)
             sel = hard_label[:, :, None, None, None]  # [B, N, 1, 1, 1]
             feats = jnp.take_along_axis(jnp.moveaxis(feats, 0, 2), sel, axis=2)[
                 :, :, 0
             ]  # [B, N, A, C]
-            x = SpherePoints(xyz, feats, pose)
-        x_seg = self.backbone_sec(preprocess_input(xyz, A, pose))
+            x = SpherePoints(xyz, feats, None)
+        x_seg = self.backbone_sec(preprocess_input(xyz, A))
         return x, x_seg
 
     # ------------------------------------------------------------------
@@ -279,13 +304,19 @@ class SlotPoseModel(nn.Module):
         # block instead of the slot's masked subset (ref unsup_..._38:735-737)
         inv_masks = masks if c.with_part_proposal else jnp.ones_like(masks)
         slot_inv, _ = self.slot_outblock(x, inv_masks)          # [S, B, C]
-        pair_inv, _ = self.pair_slot_outblock(x, None)          # [S, B, C]
+        if self.chain_mode:
+            # adjacent-slot union masks, one per joint (ref _35:540-571 cats
+            # the two slots' point subsets per pair)
+            pair_masks = jnp.clip(masks[:-1] + masks[1:], 0.0, 1.0)  # [S-1,B,N]
+            pair_inv, _ = self.pair_slot_outblock(x, pair_masks)
+        else:
+            pair_inv, _ = self.pair_slot_outblock(x, None)      # [S, B, C]
         rt = self.slot_rt_head(x, masks)
         canon, _pv_own, central, cub_x, cub_R = self.slot_decoder(slot_inv)
         _pair_pts, pv, _pc = self.pair_slot_decoder(pair_inv)   # pivot from pair
 
         canon = jnp.moveaxis(canon, 0, 1) - 0.5                 # [B, S, M, 3]
-        pv_points = jnp.moveaxis(pv, 0, 1) - 0.5                # [B, S, 3]
+        pv_points = jnp.moveaxis(pv, 0, 1) - 0.5                # [B, n_pair, 3]
         central_points = jnp.moveaxis(central, 0, 1) - 0.5      # [B, S, 3]
         cub_x = jnp.moveaxis(cub_x, 0, 1)                       # [B, S, 3]
         cub_R = jnp.moveaxis(cub_R, 0, 1)                       # [B, S, 3, 3]
@@ -308,12 +339,22 @@ class SlotPoseModel(nn.Module):
         if c.joint_type == "prismatic":
             R_mtx = jnp.broadcast_to(jnp.eye(3), (B, S, A, 3, 3))
         elif c.representation == "angle":
-            # axis-angle about the shared predicted axis; EVERY slot rotates
-            # (the reference's base-identity branch is dead code —
-            # unsup_..._38:1085 `i_s == lbl and i_s != lbl` is always false)
             angle = jax.nn.sigmoid(raw_R[..., 0]) * jnp.pi * c.rot_angle_factor
             ax = jnp.broadcast_to(defined_axis[:, None], (B, S, A, 3))
-            R_mtx = so3g.axis_angle_to_matrix(ax, angle)
+            if self.chain_mode:
+                # chain modeling (ref _35:846-895): the middle slot is the
+                # base (zero angle => identity); slots below it rotate about
+                # the NEGATED shared axis, slots above about the axis itself
+                mid = S // 2
+                sidx = jnp.arange(S)
+                sign = jnp.where(sidx < mid, -1.0, 1.0)[None, :, None, None]
+                keep = (sidx != mid).astype(angle.dtype)[None, :, None]
+                R_mtx = so3g.axis_angle_to_matrix(ax * sign, angle * keep)
+            else:
+                # two-part path: EVERY slot rotates (the reference's
+                # base-identity branch is dead code — unsup_..._38:1085
+                # `i_s == lbl and i_s != lbl` is always false)
+                R_mtx = so3g.axis_angle_to_matrix(ax, angle)
         else:
             # quat path: base slot forced to identity (ref _40:2201-2203)
             R_mtx = so3g.quat_to_matrix(raw_R)                  # [B,S,A,3,3]
@@ -338,8 +379,24 @@ class SlotPoseModel(nn.Module):
                 central_a = central_a + off_a * (
                     1.0 - is_base[:, :, None, None]
                 )
-            diff = central_a - pv0[:, None, None, :]
-            slot_T = jnp.einsum("bsaij,bsaj->bsai", R_mtx, diff) + pv0[:, None, None, :]
+            if self.chain_mode:
+                # per-slot pair pivot: slot s uses the pivot of joint s when
+                # below the base, joint s-1 when above (ref _35:880-889).
+                # The base slot's formula degenerates to T = central exactly
+                # (R = I => R(c - pv) + pv = c), matching ref _35:858-860.
+                mid = S // 2
+                sidx = jnp.arange(S)
+                pair_idx = jnp.clip(
+                    jnp.where(sidx < mid, sidx, sidx - 1), 0, pv_points.shape[1] - 1
+                )
+                pv_slot = pv_points[:, pair_idx]                # [B, S, 3]
+                pv_b = pv_slot[:, :, None, :]
+                slot_T = jnp.einsum(
+                    "bsaij,bsaj->bsai", R_mtx, central_a - pv_b
+                ) + pv_b
+            else:
+                diff = central_a - pv0[:, None, None, :]
+                slot_T = jnp.einsum("bsaij,bsaj->bsai", R_mtx, diff) + pv0[:, None, None, :]
         else:
             slot_T = jnp.moveaxis(rt["T"], 0, 1)                # [B, S, A, 3]
         if c.shape_type == "drawer":
@@ -446,17 +503,9 @@ class SlotPoseModel(nn.Module):
         )[:, 0]                                                     # [B, 3]
         if trans_from_pv and c.recon_prior in (6, 7, 8, 9):
             sg = jax.lax.stop_gradient
-            # (a) each slot's pair-pivot lies on its canonical part
-            # (ref unsup_..._38:975-981)
-            d_pv_canon = jnp.sum(
-                (pv_points[:, :, None, :] - sg(canon)) ** 2, axis=-1
-            )                                                       # [B, S, M]
-            pv_canon_cd = self._gate_pv(jnp.min(d_pv_canon, axis=-1))
-            pv_canon_loss = pv_canon_cd.sum(-1).mean()
-
-            # (b) the joint line {pv0 - t*axis} passes near both the
-            # central-placed and the residual-transformed canonical parts
-            # (ref unsup_..._38:1494-1688); targets detached when pred_axis
+            # targets for the line terms: central-placed and
+            # residual-transformed canonical parts, detached when pred_axis
+            # (ref unsup_..._38:1494-1688 / _35:1100-1109)
             R_res_sel = sg(
                 jnp.take_along_axis(R_res_t, sel[..., None, None], axis=2)[:, :, 0]
             )                                                       # [B,S,3,3]
@@ -469,20 +518,12 @@ class SlotPoseModel(nn.Module):
                 + T_res_sel[:, :, None, :]
             )
 
-            def _line_term(pv):                                     # pv [B,3]
-                d_c = jnp.min(
-                    jnp.sum((central_tr - pv[:, None, None, :]) ** 2, -1), -1
-                )                                                   # [B, S]
-                d_k = jnp.min(
-                    jnp.sum((canon_tr - pv[:, None, None, :]) ** 2, -1), -1
-                )
-                return (
-                    self._gate_pv(d_c).sum(-1).mean()
-                    + self._gate_pv(d_k).sum(-1).mean()
-                )
-
-            n_shift = 10
-            joint_len = 0.30
+            if self.chain_mode:
+                n_shift = 7
+                joint_len = 0.05                                    # ref _35:1136
+            else:
+                n_shift = 10
+                joint_len = 0.30
             if slot_rng is not None:
                 shift_rng = jax.random.fold_in(slot_rng, 17)
                 dists = (
@@ -497,20 +538,90 @@ class SlotPoseModel(nn.Module):
                 )
             if c.shape_type == "washing_machine":
                 dists = dists - joint_len / 2.0
+            # all shifted line samples at once (0 plus the n_shift offsets) —
+            # one batched min replaces the reference's per-shift Python loop
+            # (op-count matters: the degraded-backend mode charges per
+            # executed HLO op).  With axis_reg_stra=1 the running-mean gate
+            # sees all W shifts against the same pre-step average and updates
+            # once per distance family (vs per shift) — same outlier
+            # statistics, fewer state updates.
+            offs = jnp.concatenate([jnp.zeros((1,)), dists])        # [W]
 
-            axis_line = _line_term(pv0)
-            for i_d in range(n_shift):
-                axis_line = axis_line + _line_term(
-                    pv0 - dists[i_d] * ax_line_sel
+            if self.chain_mode:
+                # per-joint pivot constraints (ref _35:1145-1224): each pair
+                # pivot (and its axis-shifted copies) must lie near BOTH
+                # adjacent parts' central-placed and residual-transformed
+                # reconstructions; weight 0.2, normalised by n_shift/2.
+                P = pv_points.shape[1]                              # S - 1
+                pv_sh = (
+                    pv_points[:, :, None, :]
+                    - offs[None, None, :, None] * ax_line_sel[:, None, None, :]
+                )                                                   # [B,P,W,3]
+
+                def _pair_term(target):                             # [B,S,M,3]
+                    d = jnp.min(
+                        jnp.sum(
+                            (
+                                target[:, None, None]
+                                - pv_sh[:, :, :, None, None, :]
+                            )
+                            ** 2,
+                            -1,
+                        ),
+                        -1,
+                    )                                               # [B,P,W,S]
+                    ia = jnp.arange(P)
+                    d_a = jnp.take_along_axis(
+                        d, jnp.broadcast_to(
+                            ia[None, :, None, None], d.shape[:3] + (1,)
+                        ), axis=3,
+                    )[..., 0]
+                    d_b = jnp.take_along_axis(
+                        d, jnp.broadcast_to(
+                            (ia + 1)[None, :, None, None], d.shape[:3] + (1,)
+                        ), axis=3,
+                    )[..., 0]
+                    return self._gate_pv((d_a + d_b) / 2.0).sum((-1, -2)).mean()
+
+                axis_line = _pair_term(central_tr) + _pair_term(canon_tr)
+                axis_line = 0.2 * axis_line / (float(n_shift) / 2.0)
+                loss = loss + axis_line
+            else:
+                # (a) each slot's pair-pivot lies on its canonical part
+                # (ref unsup_..._38:975-981)
+                d_pv_canon = jnp.sum(
+                    (pv_points[:, :, None, :] - sg(canon)) ** 2, axis=-1
+                )                                                   # [B, S, M]
+                pv_canon_cd = self._gate_pv(jnp.min(d_pv_canon, axis=-1))
+                pv_canon_loss = pv_canon_cd.sum(-1).mean()
+
+                # (b) the joint line {pv0 - t*axis} passes near both target
+                # families (ref unsup_..._38:1494-1688)
+                pvs = pv0[:, None, :] - offs[None, :, None] * ax_line_sel[:, None, :]
+                d_c = jnp.min(
+                    jnp.sum(
+                        (central_tr[:, :, None] - pvs[:, None, :, None, :]) ** 2, -1
+                    ),
+                    -1,
+                )                                                   # [B, S, W]
+                d_k = jnp.min(
+                    jnp.sum(
+                        (canon_tr[:, :, None] - pvs[:, None, :, None, :]) ** 2, -1
+                    ),
+                    -1,
                 )
-            if c.recon_prior == 7:
-                # joint axis orthogonal to the pivot-nearest cuboid face
-                # (ref unsup_..._38:1494-1501, accumulated pre-division)
-                axis_line = axis_line + cuboid_axis_normal_loss(
-                    pv_points, central_points, cub_x, cub_R, ax_line_sel
-                ).mean()
-            axis_line = axis_line / (float(n_shift) / 4.0)
-            loss = loss + pv_canon_loss + axis_line
+                axis_line = (
+                    self._gate_pv(d_c).sum((-1, -2)).mean()
+                    + self._gate_pv(d_k).sum((-1, -2)).mean()
+                )
+                if c.recon_prior == 7:
+                    # joint axis orthogonal to the pivot-nearest cuboid face
+                    # (ref unsup_..._38:1494-1501, accumulated pre-division)
+                    axis_line = axis_line + cuboid_axis_normal_loss(
+                        pv_points, central_points, cub_x, cub_R, ax_line_sel
+                    ).mean()
+                axis_line = axis_line / (float(n_shift) / 4.0)
+                loss = loss + pv_canon_loss + axis_line
 
         if c.recon_prior in (5, 7):
             # cuboid containment of each slot's input points under the
@@ -518,6 +629,14 @@ class SlotPoseModel(nn.Module):
             loss = loss + cuboid_fit_loss(
                 pred_R, pred_T, xyz, cub_x, cub_R, one_hot, attn_ori
             ).mean()
+
+        if c.purity_factor > 0.0:
+            # confidence (low per-point slot entropy) regulariser; the
+            # reference defines it (common_utils.py:67) but never adds it —
+            # exposed as an ablation for the segmentation plateau study
+            from ..nn.losses import purity_loss
+
+            loss = loss + c.purity_factor * purity_loss(attn_ori)
 
         # --- per-point poses & next-iteration clouds -------------------------
         pt_R = jnp.take_along_axis(

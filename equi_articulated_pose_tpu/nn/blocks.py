@@ -50,6 +50,7 @@ class ConvBlockSpec:
     compute_dtype: str = "float32"
     fused: bool = False         # fused Pallas inter-conv (identity-perm path)
     use_2d: bool = False        # product anchors (60x4 azimuthal) variant
+    remat_chunks: bool = True   # remat the anchor-chunk loop in backward
 
 
 class InterSO3ConvBlock(nn.Module):
@@ -72,6 +73,7 @@ class InterSO3ConvBlock(nn.Module):
             chunk_a=s.chunk_a,
             compute_dtype=s.compute_dtype,
             fused=s.fused,
+            remat_chunks=s.remat_chunks,
         )(x, seg)
         f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(y.feats)
         f = _act(s.activation)(f)
@@ -149,6 +151,7 @@ def make_backbone_specs(
     compute_dtype: str = "float32",
     fused: bool = False,
     use_2d: bool = False,
+    remat_chunks: bool = True,
 ) -> list[ConvBlockSpec]:
     """Reproduce the radius/sigma ladder of ``build_model``
     (ref ``unsup_..._40:3387-3582``).  Note the reference force-overrides
@@ -192,6 +195,7 @@ def make_backbone_specs(
                     compute_dtype=compute_dtype,
                     fused=fused,
                     use_2d=use_2d,
+                    remat_chunks=remat_chunks,
                 )
             )
     return specs

@@ -77,6 +77,10 @@ class InvOutBlock(nn.Module):
     return_point_pooling_feature: bool = False
     norm: str = "batch"
     axis_name: Optional[str] = None
+    # take anchor ``sel_mode``'s pooled equivariant feature as the "invariant"
+    # output instead of pooling over anchors (ref --sel-mode, the eyeglasses
+    # recipe passes 29; ``unsup_..._35:571-575,673-675``)
+    sel_mode: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: SpherePoints, mask: Optional[jnp.ndarray] = None):
@@ -103,7 +107,10 @@ class InvOutBlock(nn.Module):
         else:
             pooled = jnp.mean(h, axis=1)
 
-        if self.pooling == "attention":
+        if self.sel_mode is not None:
+            inv = pooled[:, self.sel_mode]
+            logits = jnp.zeros(pooled.shape[:2], pooled.dtype)
+        elif self.pooling == "attention":
             logits = nn.Dense(1)(pooled)[..., 0]  # [B, A]
             conf = jax.nn.softmax(logits * self.temperature, axis=-1)
             inv = jnp.sum(pooled * conf[..., None], axis=1)  # [B, C]

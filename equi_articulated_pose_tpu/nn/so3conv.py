@@ -215,6 +215,10 @@ class InterSO3Conv(nn.Module):
     chunk_a: int = 0
     compute_dtype: str = "float32"
     fused: bool = False        # fused Pallas kernel (identity-perm path only)
+    # rematerialise chunk bodies in the backward pass; False keeps the chunk
+    # activations resident instead (fewer executed ops, more HBM) — the right
+    # trade when per-op overhead dominates (OPTIMIZATION.md degraded mode)
+    remat_chunks: bool = True
 
     @nn.compact
     def __call__(
@@ -330,7 +334,8 @@ class InterSO3Conv(nn.Module):
                 gc = _artmode(gather_neighbors_anchors(feats_c, ball_idx, sl_perm))
                 return contract(gc, wc)
 
-            chunk_fn = jax.checkpoint(chunk_fn)
+            if self.remat_chunks:
+                chunk_fn = jax.checkpoint(chunk_fn)
             outs = []
             for c0 in range(0, A, self.chunk_a):
                 sl = slice(c0, c0 + self.chunk_a)

@@ -72,6 +72,16 @@ def load_train_state(path: str, params_target: Any, opt_target: Any):
     return params, opt_target, 0
 
 
+def load_params_any(path: str, target: Any):
+    """Load a params tree from either a weight-only checkpoint or a
+    full-train-state file (eval does not care about optimizer state)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
+        raw = raw["params"]
+    return serialization.from_state_dict(target, raw)
+
+
 def safe_load_common(target_params: Any, source_params: Any) -> Any:
     """Key-intersection update: copy every leaf present in both trees with a
     matching shape (ref ``safe_load_ckpt_common``)."""

@@ -149,6 +149,21 @@ class Trainer:
         gt_onehot = jax.nn.one_hot(batch["label"], P).transpose(0, 2, 1)
         iou, _ = matched_seg_iou(pred_onehot, gt_onehot)
         metrics["iou"] = jax.lax.stop_gradient(iou.mean())
+        # slot-collapse diagnostics: if one slot swallows (almost) every
+        # point, IoU pins near 1/num_parts — these three scalars tell that
+        # story per log window (round-2 review: the 0.42 plateau was
+        # undiagnosable without them)
+        occ = pred_onehot.mean(-1)                       # [B, S] occupancy
+        metrics["occ_min"] = jax.lax.stop_gradient(occ.min(-1).mean())
+        metrics["empty_slots"] = jax.lax.stop_gradient(
+            (occ <= 0.0).astype(jnp.float32).mean()
+        )
+        attn = out["attn"]                               # [B, S, N]
+        p = attn / jnp.clip(attn.sum(1, keepdims=True), 1e-8)
+        ent = -jnp.sum(p * jnp.log(jnp.clip(p, 1e-8)), axis=1)
+        metrics["attn_ent"] = jax.lax.stop_gradient(
+            ent.mean() / jnp.log(float(self.cfg.model.nmasks))
+        )
         if axis_prior is not None:
             return loss, (
                 metrics,

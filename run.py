@@ -40,6 +40,12 @@ def build_argparser():
         sp.add_argument("--chunk-a", type=int, default=None)
         sp.add_argument("--fused", action="store_true",
                         help="fused Pallas inter-conv kernel (TPU)")
+        sp.add_argument("--no-remat-chunks", action="store_true",
+                        help="keep anchor-chunk activations for backward "
+                             "instead of rematerialising (fewer executed ops,"
+                             " more HBM)")
+        sp.add_argument("--purity-factor", type=float, default=None,
+                        help="weight of the slot-confidence (purity) loss")
 
     t = sub.add_parser("train")
     common(t)
@@ -90,6 +96,10 @@ def _make_cfg(args):
         model_kw["fused_interconv"] = True
     if getattr(args, "axis_reg_stra", None) is not None:
         model_kw["axis_reg_stra"] = args.axis_reg_stra
+    if getattr(args, "no_remat_chunks", False):
+        model_kw["remat_chunks"] = False
+    if getattr(args, "purity_factor", None) is not None:
+        model_kw["purity_factor"] = args.purity_factor
     if model_kw:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
     train_kw = {}
@@ -164,17 +174,17 @@ def main():
         from equi_articulated_pose_tpu.eval.evaluator import Evaluator
         from equi_articulated_pose_tpu.data import DataLoader, build_dataset
         from equi_articulated_pose_tpu.models import GlobalAlignModel, SlotPoseModel
-        from equi_articulated_pose_tpu.train.checkpoint import load_checkpoint
+        from equi_articulated_pose_tpu.train.checkpoint import load_params_any
 
         model = SlotPoseModel(cfg=cfg.model)
         xyz = jnp.zeros((1, cfg.model.input_num, 3))
         tgt = jax.jit(model.init)(jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1))
-        params = load_checkpoint(args.ckpt, tgt)
+        params = load_params_any(args.ckpt, tgt)
         glb_model = glb_params = None
         if args.ckpt_glb:
             glb_model = GlobalAlignModel(cfg=cfg.model)
             gt = jax.jit(glb_model.init)(jax.random.PRNGKey(0), xyz)
-            glb_params = load_checkpoint(args.ckpt_glb, gt)
+            glb_params = load_params_any(args.ckpt_glb, gt)
         ev = Evaluator(cfg, model, params, glb_model, glb_params)
 
         canon = build_dataset(cfg.data, split="train", canonical_input=True)

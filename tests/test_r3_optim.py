@@ -1,0 +1,94 @@
+"""Round-3 op-count / regulariser changes.
+
+* identity-pose elision: feeding ``pose=None`` must match feeding an explicit
+  identity pose through the pose-permutation path (the permutation induced by
+  the identity rotation is the identity permutation);
+* ``remat_chunks=False`` must change memory behaviour only — values and
+  gradients identical to the rematerialised chunk loop;
+* ``purity_factor`` must add the confidence regulariser to the total.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from equi_articulated_pose_tpu.nn.containers import (
+    SpherePoints,
+    identity_pose,
+    preprocess_input,
+)
+from equi_articulated_pose_tpu.nn.so3conv import InterSO3Conv
+
+
+def _cloud(b=2, n=48, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+
+
+def _conv(**kw):
+    kw.setdefault("dim_out", 8)
+    kw.setdefault("kernel_size", 1)
+    kw.setdefault("stride", 1)
+    kw.setdefault("radius", 0.4)
+    kw.setdefault("sigma", 0.08)
+    kw.setdefault("n_neighbor", 8)
+    kw.setdefault("kanchor", 60)
+    return InterSO3Conv(**kw)
+
+
+def test_identity_pose_elision_exact():
+    xyz = _cloud()
+    conv = _conv(use_pose=True)
+    x_id = preprocess_input(xyz, 60, identity_pose(*xyz.shape[:2]))
+    x_none = preprocess_input(xyz, 60)
+    params = conv.init(jax.random.PRNGKey(0), x_id)
+    out_id = conv.apply(params, x_id).feats
+    out_none = conv.apply(params, x_none).feats
+    np.testing.assert_allclose(
+        np.asarray(out_id), np.asarray(out_none), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("use_pose", [False, True])
+def test_remat_chunks_value_and_grad_equal(use_pose):
+    xyz = _cloud(seed=1)
+    pose = identity_pose(*xyz.shape[:2]) if use_pose else None
+    x = preprocess_input(xyz, 60, pose)
+    conv_r = _conv(use_pose=use_pose, chunk_a=12, remat_chunks=True)
+    conv_n = _conv(use_pose=use_pose, chunk_a=12, remat_chunks=False)
+    params = conv_r.init(jax.random.PRNGKey(0), x)
+
+    def loss(c):
+        def f(p):
+            return jnp.sum(c.apply(p, x).feats ** 2)
+        return jax.value_and_grad(f)(params)
+
+    v_r, g_r = loss(conv_r)
+    v_n, g_n = loss(conv_n)
+    np.testing.assert_allclose(np.asarray(v_r), np.asarray(v_n), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_purity_factor_adds_regulariser():
+    import dataclasses
+
+    from equi_articulated_pose_tpu.config import get_config
+    from equi_articulated_pose_tpu.models import SlotPoseModel
+
+    cfg0 = get_config("tiny").model
+    xyz = _cloud(b=2, n=cfg0.input_num, seed=2)
+    m0 = SlotPoseModel(cfg=cfg0)
+    params = m0.init(jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1))
+    (l0, out0), _ = m0.apply(params, xyz, jax.random.PRNGKey(2), mutable=["batch_stats"])
+
+    cfg1 = dataclasses.replace(cfg0, purity_factor=1.0)
+    m1 = SlotPoseModel(cfg=cfg1)
+    (l1, out1), _ = m1.apply(params, xyz, jax.random.PRNGKey(2), mutable=["batch_stats"])
+
+    from equi_articulated_pose_tpu.nn.losses import purity_loss
+
+    expected = purity_loss(out0["attn"])
+    np.testing.assert_allclose(
+        np.asarray(l1 - l0), np.asarray(expected), rtol=1e-4, atol=1e-5
+    )
