@@ -59,6 +59,10 @@ class ModelConfig:
     # take anchor sel_mode's equivariant feature as the slot/pair inv feature
     # (ref --sel-mode; eyeglasses passes 29)
     sel_mode: Optional[int] = None
+    # stream the per-(slot, anchor) chamfer over anchor-orbit chunks of this
+    # size (rematerialised): bounds the [B, S, K, M, N] distance tensor that
+    # sets the batch-size ceiling with 240 product anchors; 0 = off
+    orbit_chunk_k: int = 0
     use_art_mode: bool = False
     use_2d: bool = False                 # product-anchor (60x4) backbone
     with_part_proposal: bool = True
@@ -154,14 +158,20 @@ def _cfg(shape_type: str, *, nmasks: int, input_num: int, joint_type="revolute",
 # no quaternion path; scripts pass --translation=0).
 PRESETS: dict[str, Config] = {
     # use_equi=38 two-part revolute categories (scripts/train/{oven,
-    # washing_machine,laptop_syn,safe}.sh)
-    "oven": _cfg("oven", nmasks=2, input_num=380, representation="angle"),
+    # washing_machine,laptop_syn,safe}.sh).  fused_interconv on by default:
+    # the Pallas forward + chunked-XLA backward measured 3.38 s/step vs 4.03
+    # unfused on the degraded relay (scripts/bench_ab.py, r3); it only
+    # engages on real TPU with the identity anchor permutation, which is
+    # this family's active path.
+    "oven": _cfg("oven", nmasks=2, input_num=380, representation="angle",
+                 fused_interconv=True),
     "washing_machine": _cfg("washing_machine", nmasks=2, input_num=380,
-                            representation="angle"),
+                            representation="angle", fused_interconv=True),
     "laptop": _cfg("laptop", nmasks=2, input_num=512, num_iters=1,
-                   part_pred_npoints=256, representation="angle"),
+                   part_pred_npoints=256, representation="angle",
+                   fused_interconv=True),
     "safe": _cfg("safe", nmasks=2, input_num=380, representation="angle",
-                 sel_mode_trans=18),
+                 sel_mode_trans=18, fused_interconv=True),
     # use_equi=35: eyeglasses, 3 slots / 2 revolute joints, 2D product
     # anchors, chain pose modeling (scripts/train/eyeglasses.sh: --use-2d=1
     # --num-iters=1 --translation=0 --sel-mode=29 --mtx-based-axis-regression;
@@ -170,7 +180,7 @@ PRESETS: dict[str, Config] = {
     "eyeglasses": _cfg("eyeglasses", nmasks=3, input_num=480, num_iters=1,
                        part_pred_npoints=100, use_2d=True,
                        representation="angle", sel_mode=29,
-                       mtx_based_axis_regression=True),
+                       mtx_based_axis_regression=True, orbit_chunk_k=60),
     # use_equi=39: drawer, prismatic, 4 slots
     "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
                    dataset_type="sapien"),

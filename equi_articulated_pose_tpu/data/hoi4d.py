@@ -93,6 +93,7 @@ class HOI4DDataset:
         objs = os.path.join(folder, "objs")
         part_to_objs = self._part_obj_names_from_result(folder)
         pts_list, seg_list = [], []
+        part_obj_groups: List[List[str]] = []  # obj stems per part (for meshes)
         if part_to_objs:
             # the reference path: one group of objs per part id
             n_parts_found = len(part_to_objs)
@@ -107,6 +108,7 @@ class HOI4DDataset:
                 p = np.concatenate(chunks, axis=0)
                 pts_list.append(p)
                 seg_list.append(np.full(len(p), i, dtype=np.int64))
+                part_obj_groups.append(list(part_to_objs[pid]))
             part_files = [str(pid) for pid in sorted(part_to_objs)]
         else:
             part_files = sorted(
@@ -116,8 +118,39 @@ class HOI4DDataset:
                 p = np.load(os.path.join(objs, f), allow_pickle=True).astype(np.float64)
                 pts_list.append(p[:, :3])
                 seg_list.append(np.full(len(p), i, dtype=np.int64))
+                part_obj_groups.append([f[: -len("_down_pts.npy")]])
         pts = np.concatenate(pts_list)
         seg = np.concatenate(seg_list)
+
+        # Triangle meshes, when the HOI4D layout ships <name>.obj next to the
+        # down-sampled clouds (ref MotionHOIDatasetPartial renders these with
+        # pyrender, :136-380).  Every part needs at least one mesh for
+        # mesh-accurate partial views; otherwise partials fall back to the
+        # point-splat z-buffer over the scan cloud (data/partial.py).
+        mesh = None
+        if all(
+            any(os.path.exists(os.path.join(objs, n + ".obj")) for n in grp)
+            for grp in part_obj_groups
+        ):
+            from .mesh import load_obj
+
+            v_all, t_all, ts_all, off = [], [], [], 0
+            for i, grp in enumerate(part_obj_groups):
+                for name in grp:
+                    fn = os.path.join(objs, name + ".obj")
+                    if not os.path.exists(fn):
+                        continue
+                    v, t = load_obj(fn)
+                    v_all.append(np.asarray(v, dtype=np.float64))
+                    t_all.append(np.asarray(t, dtype=np.int64) + off)
+                    ts_all.append(np.full(len(t), i, dtype=np.int64))
+                    off += len(v)
+            if t_all:
+                mesh = (
+                    np.concatenate(v_all),
+                    np.concatenate(t_all),
+                    np.concatenate(ts_all),
+                )
 
         joints: List[JointSpec] = [
             JointSpec("none", np.zeros(3), np.array([0.0, 1.0, 0.0]))
@@ -142,20 +175,27 @@ class HOI4DDataset:
             joints.append(
                 JointSpec("rotation", np.zeros(3), np.array([1.0, 0.0, 0.0]))
             )
-        out = (pts, seg, joints)
+        out = (pts, seg, joints, mesh)
         self._cache[case] = out
         return out
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         case_idx, sample_idx = index // self.n_samples, index % self.n_samples
         case = self.cases[case_idx]
-        pts, seg, joints = self._load_case(case)
+        pts, seg, joints, mesh = self._load_case(case)
         import zlib
 
-        rng = np.random.RandomState(
-            zlib.crc32(
-                f"{self.seed}/{case}/{sample_idx}/{self.split}".encode()
-            ) % (2**31)
+        seed32 = zlib.crc32(
+            f"{self.seed}/{case}/{sample_idx}/{self.split}".encode()
+        ) % (2**31)
+        rng = np.random.RandomState(seed32)
+        # mesh-accurate partial when triangle meshes ship with the case
+        # (ref renders them with pyrender); point-splat z-buffer otherwise
+        use_mesh_partial = self.partial and mesh is not None
+        partial_rng = (
+            np.random.RandomState((seed32 * 2654435761 + 0x9E3779B1) % (2**31))
+            if use_mesh_partial
+            else None
         )
         sample = build_sample(
             pts,
@@ -171,7 +211,9 @@ class HOI4DDataset:
             rot_factor=self.rot_factor,
             global_rot_mode=self.global_rot_mode,
             canonical_input=self.canonical_input,
+            mesh=mesh if use_mesh_partial else None,
+            partial_rng=partial_rng,
         )
-        if self.partial:
+        if self.partial and not use_mesh_partial:
             sample = make_partial(sample, rng, self.npoints)
         return sample

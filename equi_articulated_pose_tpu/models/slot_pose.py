@@ -423,24 +423,41 @@ class SlotPoseModel(nn.Module):
         defined_axis_t = defined_axis[:, trans_anchors]         # [B,K,3]
 
         # --- per-(slot, anchor) chamfer -------------------------------------
-        # transformed canonical pts: [B, S, K, M, 3]
-        tpts = jnp.einsum("bsaij,bsmj->bsami", slot_R, canon) + slot_T_rot[..., None, :]
-        d2 = pairwise_sqdist(
-            tpts.reshape(B, S * K, M, 3),
-            jnp.broadcast_to(xyz[:, None], (B, S * K, N, 3)),
-        ).reshape(B, S, K, M, N)
-
-        # recon->ori restricted to in-slot points (ref :2544-2547)
+        # The [B, S, K, M, N] distance tensor is the model's HBM high-water
+        # mark (K up to 240 with the 2D product anchors — the eyeglasses
+        # batch-size ceiling).  orbit_chunk_k > 0 streams the K axis through
+        # a rematerialised lax.map: only [B, S, kc, M, N] is ever resident
+        # and the backward recomputes each chunk instead of storing it.
         mask_n = one_hot.transpose(0, 2, 1)[:, :, None, None, :]   # [B,S,1,1,N]
-        d2_masked = jnp.where(mask_n > 0.5, d2, BIG)
-        recon_to_ori = jnp.min(d2_masked, axis=-1).mean(-1)        # [B, S, A]
-
-        # ori->recon with soft weights = hard-mask * attention (ref :2557-2567)
-        ori_to_recon_n = jnp.min(d2, axis=-2)                      # [B, S, A, N]
         soft_w = (one_hot.transpose(0, 2, 1) * attn_ori)[:, :, None, :]
-        ori_to_recon = jnp.sum(ori_to_recon_n * soft_w, axis=-1) / jnp.clip(
-            jnp.sum(soft_w, axis=-1), 1e-8
-        )                                                           # [B, S, A]
+        soft_den = jnp.clip(jnp.sum(soft_w, axis=-1), 1e-8)
+
+        def orbit_cd(R_k, T_k):
+            """[B,S,k,3,3], [B,S,k,3] -> (recon_to_ori, ori_to_recon) [B,S,k].
+            recon->ori restricted to in-slot points (ref :2544-2547);
+            ori->recon weighted by hard-mask * attention (ref :2557-2567)."""
+            tp = jnp.einsum("bskij,bsmj->bskmi", R_k, canon) + T_k[..., None, :]
+            k = R_k.shape[2]
+            d2 = pairwise_sqdist(
+                tp.reshape(B, S * k, M, 3),
+                jnp.broadcast_to(xyz[:, None], (B, S * k, N, 3)),
+            ).reshape(B, S, k, M, N)
+            r2o = jnp.min(jnp.where(mask_n > 0.5, d2, BIG), axis=-1).mean(-1)
+            o2r_n = jnp.min(d2, axis=-2)                           # [B,S,k,N]
+            o2r = jnp.sum(o2r_n * soft_w, axis=-1) / soft_den
+            return r2o, o2r
+
+        kc = c.orbit_chunk_k
+        if kc and K > kc and K % kc == 0:
+            Rc = jnp.moveaxis(slot_R.reshape(B, S, K // kc, kc, 3, 3), 2, 0)
+            Tc = jnp.moveaxis(slot_T_rot.reshape(B, S, K // kc, kc, 3), 2, 0)
+            r2o, o2r = jax.lax.map(
+                jax.checkpoint(lambda rt: orbit_cd(rt[0], rt[1])), (Rc, Tc)
+            )
+            recon_to_ori = jnp.moveaxis(r2o, 0, 2).reshape(B, S, K)
+            ori_to_recon = jnp.moveaxis(o2r, 0, 2).reshape(B, S, K)
+        else:
+            recon_to_ori, ori_to_recon = orbit_cd(slot_R, slot_T_rot)
 
         orbit_cost = (
             ori_to_recon if c.slot_single_cd else ori_to_recon + recon_to_ori
@@ -472,11 +489,13 @@ class SlotPoseModel(nn.Module):
         indicator = (slot_counts > 0.5).astype(jnp.float32)         # [B, S]
         slot_loss = jnp.sum(slot_cost_sel * indicator, axis=-1)     # [B]
 
-        tpts_sel = jnp.take_along_axis(
-            tpts, sel[..., None, None], axis=2
-        )[:, :, 0]                                                  # [B, S, M, 3]
         pred_R = jnp.take_along_axis(slot_R, sel[..., None, None], axis=2)[:, :, 0]
         pred_T = jnp.take_along_axis(slot_T_rot, sel[..., None], axis=2)[:, :, 0]
+        # selected transformed points from the selected pose directly — never
+        # gather from a full [B, S, K, M, 3] orbit tensor
+        tpts_sel = (
+            jnp.einsum("bsij,bsmj->bsmi", pred_R, canon) + pred_T[:, :, None, :]
+        )                                                           # [B, S, M, 3]
         sel_anchor = anchors[slot_orbits]                           # [B, S, 3, 3]
 
         # --- global (whole-shape) chamfer ------------------------------------

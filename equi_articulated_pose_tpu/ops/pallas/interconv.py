@@ -89,19 +89,10 @@ def _kernel(
     out_ref[0, :, 0, 0] = out.astype(out_ref.dtype)
 
 
-def inter_conv_fused(
-    feats: jnp.ndarray,        # [B, N, A, C]
-    ball_idx: jnp.ndarray,     # [B, M, nn] int32
-    grouped_xyz: jnp.ndarray,  # [B, M, nn, 3] relative offsets
-    anchors: jnp.ndarray,      # [A, 3, 3]
-    kernels: jnp.ndarray,      # [ks, 3]
-    sigma: float,
-    W: jnp.ndarray,            # [ks, C, D]
-    chunk_a: int = 12,         # unused in v2 (anchor axis lives in the grid)
-    compute_dtype=jnp.bfloat16,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """-> [B, M, A, D].  Identity anchor permutation only (active path)."""
+def _fused_forward(
+    feats, ball_idx, grouped_xyz, anchors, kernels, sigma, W,
+    compute_dtype, interpret,
+):
     B, N, A, C = feats.shape
     M, nn = ball_idx.shape[1], ball_idx.shape[2]
     ks = kernels.shape[0]
@@ -140,6 +131,95 @@ def inter_conv_fused(
         interpret=interpret,
     )(idx_p, gx4, feats_a, rk4, W)
     return out[:, :M, :, 0]
+
+
+def _xla_chunked(
+    feats, ball_idx, grouped_xyz, anchors, kernels, sigma, W, chunk_a,
+    compute_dtype,
+):
+    """Anchor-chunked XLA composition of the same conv (bounded memory) —
+    used as the linearization point for the fused kernel's backward pass."""
+    from ...nn.so3conv import gather_neighbors_anchors, inter_kernel_weights
+    from ..sampling import group_points
+
+    A = anchors.shape[0]
+    B, M, nn = ball_idx.shape
+
+    def contract(g, w):
+        acc = jnp.einsum(
+            "bmakn,bmnac->bmakc",
+            w.astype(compute_dtype), g.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "bmakc,kcd->bmad", acc, W.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    if chunk_a and A > chunk_a and A % chunk_a == 0:
+        # gather per anchor chunk (identity permutation) so nothing of size
+        # [B, M, nn, A, C] is ever resident — matches the unfused chunk path
+        def chunk_fn(sl_anchors, sl_perm):
+            w = inter_kernel_weights(grouped_xyz, sl_anchors, kernels, sigma)
+            g = gather_neighbors_anchors(feats, ball_idx, sl_perm)
+            return contract(g, w)
+
+        chunk_fn = jax.checkpoint(chunk_fn)
+        outs = []
+        for c0 in range(0, A, chunk_a):
+            sl_perm = jnp.broadcast_to(
+                jnp.arange(c0, c0 + chunk_a, dtype=jnp.int32),
+                (B, M, nn, chunk_a),
+            )
+            outs.append(chunk_fn(anchors[c0 : c0 + chunk_a], sl_perm))
+        return jnp.concatenate(outs, axis=2)
+    w = inter_kernel_weights(grouped_xyz, anchors, kernels, sigma)
+    return contract(group_points(feats, ball_idx), w)
+
+
+def inter_conv_fused(
+    feats: jnp.ndarray,        # [B, N, A, C]
+    ball_idx: jnp.ndarray,     # [B, M, nn] int32
+    grouped_xyz: jnp.ndarray,  # [B, M, nn, 3] relative offsets
+    anchors: jnp.ndarray,      # [A, 3, 3]
+    kernels: jnp.ndarray,      # [ks, 3]
+    sigma: float,
+    W: jnp.ndarray,            # [ks, C, D]
+    chunk_a: int = 12,         # backward anchor-chunk size
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> [B, M, A, D].  Identity anchor permutation only (active path).
+
+    Differentiable: the forward runs the fused Pallas kernel; the backward
+    linearises the mathematically-identical anchor-chunked XLA composition
+    (``_xla_chunked``) at the same primals — gradients for ``feats``,
+    ``grouped_xyz`` and ``W`` match the unfused path (the round-2 fused
+    kernel had no VJP at all, so it could never be trained through)."""
+
+    @jax.custom_vjp
+    def _f(feats, gx, W):
+        return _fused_forward(
+            feats, ball_idx, gx, anchors, kernels, sigma, W,
+            compute_dtype, interpret,
+        )
+
+    def _fwd(feats, gx, W):
+        return _f(feats, gx, W), (feats, gx, W)
+
+    def _bwd(res, g):
+        f0, gx0, W0 = res
+        _, vjp = jax.vjp(
+            lambda f_, gx_, W_: _xla_chunked(
+                f_, ball_idx, gx_, anchors, kernels, sigma, W_,
+                chunk_a, compute_dtype,
+            ),
+            f0, gx0, W0,
+        )
+        return vjp(g)
+
+    _f.defvjp(_fwd, _bwd)
+    return _f(feats, grouped_xyz, W)
 
 
 def inter_conv_fused_reference(

@@ -46,6 +46,9 @@ def build_argparser():
                              " more HBM)")
         sp.add_argument("--purity-factor", type=float, default=None,
                         help="weight of the slot-confidence (purity) loss")
+        sp.add_argument("--orbit-chunk-k", type=int, default=None,
+                        help="stream the per-(slot,anchor) chamfer over "
+                             "anchor chunks of this size (bounds HBM)")
 
     t = sub.add_parser("train")
     common(t)
@@ -100,6 +103,8 @@ def _make_cfg(args):
         model_kw["remat_chunks"] = False
     if getattr(args, "purity_factor", None) is not None:
         model_kw["purity_factor"] = args.purity_factor
+    if getattr(args, "orbit_chunk_k", None) is not None:
+        model_kw["orbit_chunk_k"] = args.orbit_chunk_k
     if model_kw:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
     train_kw = {}

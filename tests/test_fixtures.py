@@ -102,3 +102,30 @@ def test_hoi4d_dataset_from_fixture():
     assert s["pose_segs"].shape[0] == 2
     # the joint axis from mobility_v2.json is x-ish after normalisation
     assert np.isfinite(s["part_axis"]).all()
+
+
+def test_hoi4d_mesh_rasterized_partial():
+    """When <name>.obj part meshes ship with a case, the partial variant
+    rasterizes them (mesh-accurate occlusion, ref MotionHOIDatasetPartial)
+    instead of point-splatting the scan cloud."""
+    from equi_articulated_pose_tpu.data.hoi4d import HOI4DDataset
+
+    ds = HOI4DDataset(
+        os.path.join(FIX, "hoi4d"),
+        shape_type="laptop",
+        npoints=128,
+        n_samples=2,
+        train_ratio=0.5,
+        partial=True,
+    )
+    pts, seg, joints, mesh = ds._load_case(ds.cases[0])
+    assert mesh is not None, "fixture .obj meshes should be picked up"
+    verts, tris, tri_seg = mesh
+    assert tris.shape[1] == 3 and tri_seg.shape[0] == tris.shape[0]
+    assert set(np.unique(tri_seg)) == {0, 1}
+    s = ds[0]
+    assert s["pc"].shape == (128, 3)
+    assert np.isfinite(s["pc"]).all()
+    # a single-view scan of a two-part laptop still sees both parts from
+    # almost every camera, but never MORE points than the complete cloud
+    assert set(np.unique(s["label"])) <= {0, 1}

@@ -92,3 +92,33 @@ def test_purity_factor_adds_regulariser():
     np.testing.assert_allclose(
         np.asarray(l1 - l0), np.asarray(expected), rtol=1e-4, atol=1e-5
     )
+
+
+def test_orbit_chunk_k_value_and_grad_equal():
+    """K-axis streaming of the per-(slot, anchor) chamfer must be a pure
+    memory optimisation: loss and gradients identical to the unchunked path."""
+    import dataclasses
+
+    from equi_articulated_pose_tpu.config import get_config
+    from equi_articulated_pose_tpu.models import SlotPoseModel
+
+    cfg0 = get_config("tiny").model
+    xyz = _cloud(b=2, n=cfg0.input_num, seed=3)
+    m0 = SlotPoseModel(cfg=cfg0)
+    params = m0.init(jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1))
+    m1 = SlotPoseModel(cfg=dataclasses.replace(cfg0, orbit_chunk_k=12))
+
+    def lg(m):
+        def f(p):
+            (l, _), _ = m.apply(
+                {**params, "params": p}, xyz, jax.random.PRNGKey(2),
+                mutable=["batch_stats"],
+            )
+            return l
+        return jax.value_and_grad(f)(params["params"])
+
+    v0, g0 = lg(m0)
+    v1, g1 = lg(m1)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
