@@ -59,6 +59,10 @@ class ModelConfig:
     # take anchor sel_mode's equivariant feature as the slot/pair inv feature
     # (ref --sel-mode; eyeglasses passes 29)
     sel_mode: Optional[int] = None
+    # rematerialise the per-slot vmapped towers (inv blocks, RT heads) in
+    # backward: their [S, B, N, A, C] activations are S x the backbone's and
+    # set the HBM ceiling with 240 product anchors
+    remat_slot_blocks: bool = False
     # stream the per-(slot, anchor) chamfer over anchor-orbit chunks of this
     # size (rematerialised): bounds the [B, S, K, M, N] distance tensor that
     # sets the batch-size ceiling with 240 product anchors; 0 = off
@@ -180,7 +184,8 @@ PRESETS: dict[str, Config] = {
     "eyeglasses": _cfg("eyeglasses", nmasks=3, input_num=480, num_iters=1,
                        part_pred_npoints=100, use_2d=True,
                        representation="angle", sel_mode=29,
-                       mtx_based_axis_regression=True, orbit_chunk_k=60),
+                       mtx_based_axis_regression=True, orbit_chunk_k=60,
+                       remat_slot_blocks=True),
     # use_equi=39: drawer, prismatic, 4 slots
     "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
                    dataset_type="sapien"),

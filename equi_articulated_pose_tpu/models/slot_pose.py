@@ -88,10 +88,16 @@ class _SlotDecoder(nn.Module):
         return pts, pv, cp, cub_x, cub_R
 
 
-def _slot_vmap(module_cls, num_slots: int, in_axes, **kwargs):
-    """Per-slot unshared parameters via a leading slot axis."""
+def _slot_vmap(module_cls, num_slots: int, in_axes, remat: bool = False, **kwargs):
+    """Per-slot unshared parameters via a leading slot axis.
+
+    ``remat`` rematerialises the module in the backward pass: the per-slot
+    full-cloud activations are S x the backbone's ([S, B, N, A, C] — 675 MB
+    per tower at 240 product anchors), and storing them for backward is the
+    eyeglasses HBM ceiling."""
+    cls = nn.remat(module_cls) if remat else module_cls
     return nn.vmap(
-        module_cls,
+        cls,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
         in_axes=in_axes,
@@ -145,7 +151,7 @@ class SlotPoseModel(nn.Module):
         # per-slot inv block over the slot's masked points; abs vs relative
         # coordinates per the rel_for_points flag (ref unsup_..._40:209)
         self.slot_outblock = _slot_vmap(
-            InvOutBlock, S, in_axes=(None, 0),
+            InvOutBlock, S, in_axes=(None, 0), remat=c.remat_slot_blocks,
             use_abs_pos=not c.rel_for_points, **inv_kw
         )
         # Pair inv block: two-part models feed the whole cloud (ref overrides
@@ -156,7 +162,7 @@ class SlotPoseModel(nn.Module):
         self.pair_slot_outblock = _slot_vmap(
             InvOutBlock, n_pair,
             in_axes=(None, 0 if self.chain_mode else None),
-            use_abs_pos=True, **inv_kw
+            remat=c.remat_slot_blocks, use_abs_pos=True, **inv_kw
         )
         self.slot_decoder = _slot_vmap(_SlotDecoder, S, in_axes=(0,), cfg=c)
         # pair decoder supplies the pivot point (ref :2014-2020)
@@ -167,13 +173,15 @@ class SlotPoseModel(nn.Module):
         head_kw = dict(mlp=c.out_mlp, norm=c.norm, axis_name=self.axis_name)
         if c.joint_type == "prismatic":
             self.slot_rt_head = _slot_vmap(
-                SO3PrismaticHead, S, in_axes=(None, 0), **head_kw
+                SO3PrismaticHead, S, in_axes=(None, 0),
+                remat=c.remat_slot_blocks, **head_kw
             )
         else:
             self.slot_rt_head = _slot_vmap(
                 SO3PoseHead,
                 S,
                 in_axes=(None, 0),
+                remat=c.remat_slot_blocks,
                 representation=c.representation,
                 # pivot-derived translations skip the dense T tower
                 # (ref scripts pass --translation=0 for the 38 recipes)

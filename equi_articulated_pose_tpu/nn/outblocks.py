@@ -30,6 +30,34 @@ def masked_mean(x: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int):
     return num / den
 
 
+class _SplitConcatDense(nn.Module):
+    """``nn.Dense(d)(concat([a, b], -1))`` computed as two matmuls over
+    slices of one kernel — avoids materialising the concat (and, for a
+    trailing-dim-3 ``b``, its 128-lane padding).  Parameter names, shapes and
+    initialisation match nn.Dense on the concatenated input exactly."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        Ca, Cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (Ca + Cb, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        k = kernel.astype(a.dtype)
+        return (
+            jnp.einsum("...c,cd->...d", a, k[:Ca])
+            + jnp.einsum("...c,cd->...d", b, k[Ca:])
+            + bias.astype(a.dtype)
+        )
+
+
 class PointnetSO3Conv(nn.Module):
     """Anchor-wise PointNet embed: concat features with per-anchor rotated
     (relative) coordinates, then a 1x1 conv
@@ -57,8 +85,15 @@ class PointnetSO3Conv(nn.Module):
         else:
             # R_a^T x  per anchor (ref einsum 'aji,bjn->bina')
             xyzr = jnp.einsum("aji,bnj->bnai", anchors, xyz)
-        h = jnp.concatenate([feats, xyzr.astype(feats.dtype)], axis=-1)
-        return nn.Dense(self.dim_out)(h)  # [B, N, A, dim_out]
+        # Dense over concat(feats, xyzr) WITHOUT materialising the concat:
+        # the [.., A, 3] xyzr tensor tiles terribly on TPU (trailing dim 3
+        # pads to the 128-lane register, a 42x HBM expansion observed at
+        # A=240) — so split the kernel and sum the two matmuls instead.
+        # Same parameters (name path Dense_0/{kernel,bias}, same shapes and
+        # init) and same math as nn.Dense(dim_out)(concat(feats, xyzr)).
+        return _SplitConcatDense(self.dim_out, name="Dense_0")(
+            feats, xyzr.astype(feats.dtype)
+        )
 
 
 class InvOutBlock(nn.Module):
