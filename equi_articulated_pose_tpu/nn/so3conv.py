@@ -329,25 +329,38 @@ class InterSO3Conv(nn.Module):
             # end-to-end anchor chunking: kernel weights, the fused
             # (neighbour, anchor) gather, and the contraction all live per
             # chunk, so nothing of size [B, M, nn, A, C] is ever resident.
+            # The chunks run under a sequential ``lax.map`` (scan), NOT a
+            # Python loop: an unrolled loop lets XLA's scheduler keep every
+            # chunk's rematted buffers alive simultaneously in the backward
+            # pass, defeating the chunking (observed: 240-anchor model OOM
+            # with ~20 live [B,M,nn,chunk_a,C] temps).  scan bounds live
+            # memory to one chunk body.
             def chunk_fn(sl_anchors, sl_perm):
+                if sl_perm.ndim == 1:
+                    sl_perm = jnp.broadcast_to(
+                        sl_perm, (B, M, self.n_neighbor, self.chunk_a)
+                    )
                 wc = inter_kernel_weights(grouped_xyz, sl_anchors, kernels, self.sigma)
                 gc = _artmode(gather_neighbors_anchors(feats_c, ball_idx, sl_perm))
                 return contract(gc, wc)
 
             if self.remat_chunks:
                 chunk_fn = jax.checkpoint(chunk_fn)
-            outs = []
-            for c0 in range(0, A, self.chunk_a):
-                sl = slice(c0, c0 + self.chunk_a)
-                if anchor_perm is not None:
-                    sl_perm = anchor_perm[..., sl]
-                else:
-                    sl_perm = jnp.broadcast_to(
-                        jnp.arange(c0, c0 + self.chunk_a, dtype=jnp.int32),
-                        (B, M, self.n_neighbor, self.chunk_a),
-                    )
-                outs.append(chunk_fn(anchors[sl], sl_perm))
-            new_feats = jnp.concatenate(outs, axis=2)
+            n_chunks = A // self.chunk_a
+            anchors_st = anchors.reshape(n_chunks, self.chunk_a, 3, 3)
+            if anchor_perm is not None:
+                perm_st = jnp.moveaxis(
+                    anchor_perm.reshape(B, M, self.n_neighbor, n_chunks, self.chunk_a),
+                    3, 0,
+                )  # [n_chunks, B, M, nn, chunk_a]
+            else:
+                perm_st = jnp.arange(A, dtype=jnp.int32).reshape(
+                    n_chunks, self.chunk_a
+                )
+            outs = jax.lax.map(
+                lambda t: chunk_fn(*t), (anchors_st, perm_st)
+            )  # [n_chunks, B, M, chunk_a, D]
+            new_feats = jnp.moveaxis(outs, 0, 2).reshape(B, M, A, self.dim_out)
         else:
             w = inter_kernel_weights(grouped_xyz, anchors, kernels, self.sigma)
             if anchor_perm is not None:
