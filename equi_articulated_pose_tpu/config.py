@@ -79,6 +79,10 @@ class ModelConfig:
     # defined but unreferenced, exposed here as an ablation knob for the
     # segmentation-quality study (RESULTS.md)
     purity_factor: float = 0.0
+    # anti-collapse occupancy regulariser: penalise the max slot's soft point
+    # share above 1/S.  The reference carries the same term commented out
+    # ("encourage entropy", unsup_..._35:1560 / _38:2014); 0 disables.
+    ov_max_factor: float = 0.0
     # spherical-cap (near-vertical) axis parameterisation
     # (--mtx-based-axis-regression, eyeglasses recipe)
     mtx_based_axis_regression: bool = False

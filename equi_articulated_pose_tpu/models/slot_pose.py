@@ -664,6 +664,12 @@ class SlotPoseModel(nn.Module):
             from ..nn.losses import purity_loss
 
             loss = loss + c.purity_factor * purity_loss(attn_ori)
+        if c.ov_max_factor > 0.0:
+            # anti-collapse: max slot's soft occupancy share above 1/S
+            # (ref's commented-out pts_ov_max_percent_loss, unsup_..._35:1560)
+            from ..nn.losses import ov_max_percent_loss
+
+            loss = loss + c.ov_max_factor * ov_max_percent_loss(attn_ori)
 
         # --- per-point poses & next-iteration clouds -------------------------
         pt_R = jnp.take_along_axis(

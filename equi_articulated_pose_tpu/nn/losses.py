@@ -79,3 +79,20 @@ def purity_loss(attn: jnp.ndarray, eps: float = 1e-8):
     p = attn / jnp.clip(attn.sum(1, keepdims=True), eps)       # [B, S, N]
     ent = -jnp.sum(p * jnp.log(jnp.clip(p, eps)), axis=1)      # [B, N]
     return ent.mean()
+
+
+def ov_max_percent_loss(attn: jnp.ndarray, eps: float = 1e-8):
+    """Anti-collapse occupancy regulariser: penalise the largest slot's soft
+    share of the points above the uniform share 1/S.
+
+    The reference defines exactly this intent — ``tot_loss = tot_recon_loss
+    # + (pts_ov_max_percent_loss) * 4.0  # encourage entropy`` — in all four
+    model files (e.g. unsup_..._35:1560, _38:2014) but ships it commented
+    out.  We expose it because the hard-argmax slot chamfer has a degenerate
+    optimum (empty slots cost nothing, so one slot swallows the cloud:
+    observed attn_ent 0.75->0.18 with empty_slots 0.05->0.46 on the 3-slot
+    eyeglasses run).  Zero when occupancy is uniform."""
+    p = attn / jnp.clip(attn.sum(1, keepdims=True), eps)       # [B, S, N]
+    occ = p.mean(-1)                                           # [B, S]
+    S = attn.shape[1]
+    return jnp.clip(occ.max(-1) - 1.0 / S, 0.0).mean()

@@ -46,6 +46,8 @@ def build_argparser():
                              " more HBM)")
         sp.add_argument("--purity-factor", type=float, default=None,
                         help="weight of the slot-confidence (purity) loss")
+        sp.add_argument("--ov-max-factor", type=float, default=None,
+                        help="weight of the anti-collapse max-slot-occupancy loss")
         sp.add_argument("--orbit-chunk-k", type=int, default=None,
                         help="stream the per-(slot,anchor) chamfer over "
                              "anchor chunks of this size (bounds HBM)")
@@ -103,6 +105,8 @@ def _make_cfg(args):
         model_kw["remat_chunks"] = False
     if getattr(args, "purity_factor", None) is not None:
         model_kw["purity_factor"] = args.purity_factor
+    if getattr(args, "ov_max_factor", None) is not None:
+        model_kw["ov_max_factor"] = args.ov_max_factor
     if getattr(args, "orbit_chunk_k", None) is not None:
         model_kw["orbit_chunk_k"] = args.orbit_chunk_k
     if model_kw:

@@ -48,6 +48,22 @@ def test_cross_entropy_and_purity(rng):
     assert float(purity_loss(hard)) < 1e-3
 
 
+def test_ov_max_percent_loss():
+    from equi_articulated_pose_tpu.nn.losses import ov_max_percent_loss
+
+    # uniform occupancy -> zero penalty
+    uni = jnp.ones((2, 3, 12)) / 3.0
+    assert float(ov_max_percent_loss(uni)) < 1e-6
+    # full collapse (every point on slot 0) -> 1 - 1/S
+    coll = jnp.zeros((2, 3, 12)).at[:, 0].set(1.0)
+    np.testing.assert_allclose(
+        float(ov_max_percent_loss(coll)), 1.0 - 1.0 / 3.0, atol=1e-6
+    )
+    # gradient pushes the dominant slot's attention down
+    g = jax.grad(lambda a: ov_max_percent_loss(a))(coll + 0.1)
+    assert float(g[:, 0].sum()) > 0.0
+
+
 def test_attention_ce_modes(rng):
     cls_logits = jnp.asarray(rng.randn(4, 5).astype(np.float32))
     cls_labels = jnp.asarray(rng.randint(0, 5, (4,)))
