@@ -82,17 +82,21 @@ def purity_loss(attn: jnp.ndarray, eps: float = 1e-8):
 
 
 def ov_max_percent_loss(attn: jnp.ndarray, eps: float = 1e-8):
-    """Anti-collapse occupancy regulariser: penalise the largest slot's soft
-    share of the points above the uniform share 1/S.
+    """Anti-collapse occupancy regulariser: hinge on slots whose soft point
+    share starves below a floor of one third of the uniform share.
 
-    The reference defines exactly this intent — ``tot_loss = tot_recon_loss
-    # + (pts_ov_max_percent_loss) * 4.0  # encourage entropy`` — in all four
-    model files (e.g. unsup_..._35:1560, _38:2014) but ships it commented
-    out.  We expose it because the hard-argmax slot chamfer has a degenerate
-    optimum (empty slots cost nothing, so one slot swallows the cloud:
-    observed attn_ent 0.75->0.18 with empty_slots 0.05->0.46 on the 3-slot
-    eyeglasses run).  Zero when occupancy is uniform."""
+    The reference carries an "encourage entropy" occupancy term commented out
+    in all four model files (``tot_loss = tot_recon_loss #
+    + (pts_ov_max_percent_loss) * 4.0``, e.g. unsup_..._35:1560, _38:2014).
+    We expose an active analogue because the hard-argmax slot chamfer has a
+    degenerate optimum — empty slots cost nothing (indicator-gated), so one
+    slot swallows the cloud: observed attn_ent 0.75->0.08 with empty_slots
+    0.05->0.57 and IoU 0.23->0.15 on the 3-slot eyeglasses run.  Unlike a
+    max-share or entropy penalty, the starvation hinge is ZERO whenever every
+    slot holds at least tau = 1/(3S) of the points, so it never pushes
+    unequal-sized true parts toward equal occupancy."""
     p = attn / jnp.clip(attn.sum(1, keepdims=True), eps)       # [B, S, N]
     occ = p.mean(-1)                                           # [B, S]
     S = attn.shape[1]
-    return jnp.clip(occ.max(-1) - 1.0 / S, 0.0).mean()
+    tau = 1.0 / (3.0 * S)
+    return (jnp.clip(tau - occ, 0.0) / tau).sum(-1).mean()

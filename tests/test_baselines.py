@@ -54,14 +54,16 @@ def test_ov_max_percent_loss():
     # uniform occupancy -> zero penalty
     uni = jnp.ones((2, 3, 12)) / 3.0
     assert float(ov_max_percent_loss(uni)) < 1e-6
-    # full collapse (every point on slot 0) -> 1 - 1/S
+    # unequal but non-starving split (60/25/15 with tau=1/9) -> still zero
+    p = np.zeros((1, 3, 20), np.float32)
+    p[0, 0, :12] = 1.0; p[0, 1, 12:17] = 1.0; p[0, 2, 17:] = 1.0
+    assert float(ov_max_percent_loss(jnp.asarray(p))) < 1e-6
+    # full collapse (every point on slot 0) -> 2 starving slots
     coll = jnp.zeros((2, 3, 12)).at[:, 0].set(1.0)
-    np.testing.assert_allclose(
-        float(ov_max_percent_loss(coll)), 1.0 - 1.0 / 3.0, atol=1e-6
-    )
-    # gradient pushes the dominant slot's attention down
+    np.testing.assert_allclose(float(ov_max_percent_loss(coll)), 2.0, atol=1e-5)
+    # gradient raises starving slots' attention (negative wrt their attn)
     g = jax.grad(lambda a: ov_max_percent_loss(a))(coll + 0.1)
-    assert float(g[:, 0].sum()) > 0.0
+    assert float(g[:, 1:].sum()) < 0.0
 
 
 def test_attention_ce_modes(rng):
