@@ -83,6 +83,9 @@ class ModelConfig:
     # share above 1/S.  The reference carries the same term commented out
     # ("encourage entropy", unsup_..._35:1560 / _38:2014); 0 disables.
     ov_max_factor: float = 0.0
+    # weight the slot->orig chamfer by the full soft attention instead of
+    # hard-mask * attention (ref's commented alternative, unsup_..._38:1366)
+    soft_seg_weights: bool = False
     # spherical-cap (near-vertical) axis parameterisation
     # (--mtx-based-axis-regression, eyeglasses recipe)
     mtx_based_axis_regression: bool = False

@@ -437,7 +437,18 @@ class SlotPoseModel(nn.Module):
         # a rematerialised lax.map: only [B, S, kc, M, N] is ever resident
         # and the backward recomputes each chunk instead of storing it.
         mask_n = one_hot.transpose(0, 2, 1)[:, :, None, None, :]   # [B,S,1,1,N]
-        soft_w = (one_hot.transpose(0, 2, 1) * attn_ori)[:, :, None, :]
+        if c.soft_seg_weights:
+            # all-points soft weighting (the reference's commented-out
+            # variant, unsup_..._38:1365-1366 "If we use soft weights for all
+            # points"): every slot receives o2r gradient at every point, so
+            # badly-explained points can migrate across the hard argmax
+            # boundary — soft-clustering dynamics for the segmentation, vs
+            # the hard-masked default where the argmax partition is frozen
+            # unless near-tied logits flip (observed: oven IoU pinned at its
+            # init value 0.42 for 2400 steps).
+            soft_w = attn_ori[:, :, None, :]
+        else:
+            soft_w = (one_hot.transpose(0, 2, 1) * attn_ori)[:, :, None, :]
         soft_den = jnp.clip(jnp.sum(soft_w, axis=-1), 1e-8)
 
         def orbit_cd(R_k, T_k):

@@ -48,6 +48,9 @@ def build_argparser():
                         help="weight of the slot-confidence (purity) loss")
         sp.add_argument("--ov-max-factor", type=float, default=None,
                         help="weight of the anti-collapse max-slot-occupancy loss")
+        sp.add_argument("--soft-seg-weights", action="store_true",
+                        help="weight the slot->orig chamfer by full soft "
+                             "attention (soft-clustering segmentation dynamics)")
         sp.add_argument("--orbit-chunk-k", type=int, default=None,
                         help="stream the per-(slot,anchor) chamfer over "
                              "anchor chunks of this size (bounds HBM)")
@@ -107,6 +110,8 @@ def _make_cfg(args):
         model_kw["purity_factor"] = args.purity_factor
     if getattr(args, "ov_max_factor", None) is not None:
         model_kw["ov_max_factor"] = args.ov_max_factor
+    if getattr(args, "soft_seg_weights", False):
+        model_kw["soft_seg_weights"] = True
     if getattr(args, "orbit_chunk_k", None) is not None:
         model_kw["orbit_chunk_k"] = args.orbit_chunk_k
     if model_kw:

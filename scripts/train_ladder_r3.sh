@@ -3,14 +3,15 @@
 #
 # Chip budget (degraded relay mode, ~4 s per stage-1 step — see
 # OPTIMIZATION.md "relay execution modes"):
-#   1. eyeglasses stage-1 relaunch WITH the anti-collapse occupancy
-#      regulariser (--ov-max-factor): the un-regularised chain run collapsed
-#      (attn_ent 0.75->0.09, empty_slots 0.05->0.56, IoU 0.23->0.14 by step
-#      600 — logs_r3/eyeglasses_chain_stage1.log).
-#   2. laptop two-stage + eval (VERDICT #8).
-#   3. safe two-stage + eval (VERDICT #8; sel_mode_trans=18 preset).
-#   4. oven segmentation ablation: resume the converged axisreg stage-1
-#      checkpoint with purity/ov-max regularisers for 400 steps (VERDICT #3).
+#   1. oven stage-1 segmentation fix (fresh run, starvation hinge +
+#      full-soft o2r weighting) — the #1 quality item (VERDICT #3): every
+#      prior stage-1 run COLLAPSED to one slot (diag: entropy 0.0000,
+#      occupancy [1,0]; IoU 0.4241 == the all-one-slot score).
+#   2. eyeglasses stage-1 relaunch with the same fix: the un-regularised
+#      chain run collapsed the same way (attn_ent 0.75->0.09, empty_slots
+#      0.05->0.56, IoU 0.23->0.15 by step 600).
+#   3. laptop two-stage + eval (VERDICT #8).
+#   4. safe two-stage + eval (VERDICT #8; sel_mode_trans=18 preset).
 #
 # Resumable: cumulative ckpt + .steps counter per (cat, stage); aborts cost
 # at most the periodic-save window.
@@ -69,10 +70,27 @@ train_stage () {
   return 1
 }
 
-# ---- 1. eyeglasses with anti-collapse -------------------------------------
+# ---- 1. oven segmentation fix (fresh stage-1) ------------------------------
+# Diagnosis (diag script vs ckpt_r2/oven_stage1_axisreg): the trained oven
+# attention is FULLY collapsed — entropy 0.0000, occupancy [1,0] — and the
+# pinned eval IoU 0.4241 is exactly the all-points-in-one-slot score.  Once
+# the softmax saturates every attention gradient vanishes, so the fix
+# (starvation hinge + full-soft o2r weighting) must run from step 0.
+if [ ! -f ckpt_r3/oven_stage1.msgpack ]; then
+  train_stage oven oven 1 1200 4 \
+      --eval-freq 400 --soft-seg-weights --ov-max-factor 1.0 \
+      --axis-reg-stra 1 --resume-glb ckpt_r2/oven_stage0.msgpack
+  timeout 4800 python run.py eval --category oven --dataset synthetic \
+      --ckpt ckpt_r3/oven_stage1.msgpack --ckpt-glb ckpt_r2/oven_stage0.msgpack \
+      --compute-dtype bfloat16 --chunk-a 12 --batch-size 4 --max-batches 15 \
+      > logs_r3/oven_segfix_eval.log 2>&1
+fi
+
+# ---- 2. eyeglasses with anti-collapse --------------------------------------
 if [ ! -f ckpt_r3/eyeglasses_stage1.msgpack ]; then
   train_stage eyeglasses eyeglasses 1 2400 2 \
       --eval-freq 800 --orbit-chunk-k 30 --ov-max-factor 1.0 \
+      --soft-seg-weights \
       --resume-glb ckpt_r2/eyeglasses_stage0.msgpack
   timeout 4800 python run.py eval --category eyeglasses --dataset synthetic \
       --ckpt ckpt_r3/eyeglasses_stage1.msgpack \
@@ -82,38 +100,24 @@ if [ ! -f ckpt_r3/eyeglasses_stage1.msgpack ]; then
       > logs_r3/eyeglasses_eval.log 2>&1
 fi
 
-# ---- 2. laptop two-stage ---------------------------------------------------
+# ---- 3. laptop two-stage ---------------------------------------------------
 train_stage laptop laptop 0 1500 4
 train_stage laptop laptop 1 1600 4 \
-    --eval-freq 800 --resume-glb ckpt_r3/laptop_stage0.msgpack
+    --eval-freq 800 --soft-seg-weights --ov-max-factor 1.0 \
+    --resume-glb ckpt_r3/laptop_stage0.msgpack
 timeout 4800 python run.py eval --category laptop --dataset synthetic \
     --ckpt ckpt_r3/laptop_stage1.msgpack --ckpt-glb ckpt_r3/laptop_stage0.msgpack \
     --compute-dtype bfloat16 --chunk-a 12 --batch-size 4 --max-batches 15 \
     > logs_r3/laptop_eval.log 2>&1
 
-# ---- 3. safe two-stage -----------------------------------------------------
+# ---- 4. safe two-stage -----------------------------------------------------
 train_stage safe safe 0 1500 4
 train_stage safe safe 1 1600 4 \
-    --eval-freq 800 --resume-glb ckpt_r3/safe_stage0.msgpack
+    --eval-freq 800 --soft-seg-weights --ov-max-factor 1.0 \
+    --resume-glb ckpt_r3/safe_stage0.msgpack
 timeout 4800 python run.py eval --category safe --dataset synthetic \
     --ckpt ckpt_r3/safe_stage1.msgpack --ckpt-glb ckpt_r3/safe_stage0.msgpack \
     --compute-dtype bfloat16 --chunk-a 12 --batch-size 4 --max-batches 15 \
     > logs_r3/safe_eval.log 2>&1
-
-# ---- 4. oven segmentation ablation ----------------------------------------
-# resume the converged stage-1 weights; regularisers only change the loss
-if [ ! -f ckpt_r3/oven_stage1.msgpack ]; then
-  timeout 7200 python run.py train --category oven --dataset synthetic \
-      --stage 1 --steps 400 --batch-size 4 --eval-freq 0 \
-      --ov-max-factor 1.0 --purity-factor 0.5 --axis-reg-stra 1 \
-      --resume ckpt_r2/oven_stage1_axisreg.msgpack \
-      --resume-glb ckpt_r2/oven_stage0.msgpack \
-      --compute-dtype bfloat16 --chunk-a 12 --ckpt-dir ckpt_r3 \
-      > logs_r3/oven_seg_ablation.log 2>&1
-  timeout 4800 python run.py eval --category oven --dataset synthetic \
-      --ckpt ckpt_r3/oven_stage1.msgpack --ckpt-glb ckpt_r2/oven_stage0.msgpack \
-      --compute-dtype bfloat16 --chunk-a 12 --batch-size 4 --max-batches 15 \
-      > logs_r3/oven_seg_ablation_eval.log 2>&1
-fi
 
 echo R3-LADDER-DONE
