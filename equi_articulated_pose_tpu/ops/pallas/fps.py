@@ -14,7 +14,11 @@ written once at the end.
 
 Semantics are index-exact with ``ops.sampling.furthest_point_sampling``
 (first sample = index 0; squared-norm <= 1e-3 shadow-point guard, ref
-``grouping_cuda_kernel.cu:369-371``; first-index tie-breaking).
+``grouping_cuda_kernel.cu:369-371``; first-index tie-breaking).  Caveat:
+across BACKENDS the selection can differ at near-exact distance ties
+(measured on chip: one divergence in 8x380 selections, at a relative
+distance difference of 2e-6 — TPU float rounding vs interpret/XLA), which
+is functionally equivalent sampling.  Within a backend it is deterministic.
 """
 from __future__ import annotations
 
