@@ -248,10 +248,16 @@ class SlotPoseModel(nn.Module):
         return dg
 
     # ------------------------------------------------------------------
-    def _encode(self, xyz, x_list=None, hard_label=None):
+    def _encode(self, xyz, x_list=None, hard_label=None, x_seg=None):
         """Backbone features.  First iteration: encode the raw cloud; later
         iterations: encode each slot's inverse-transformed cloud and select
-        per point by the previous hard label (ref :1578-1615)."""
+        per point by the previous hard label (ref :1578-1615).
+
+        ``x_seg`` (the segmentation branch over the ORIGINAL cloud) is
+        iteration-invariant — the reference recomputes it identically every
+        iteration (``x_seg = M.preprocess_input(ori_pts, ...)`` + backbone_sec,
+        _38:515-518,572-576); callers hoist it out of the iteration loop and
+        pass it in, saving a full backbone_sec pass per extra iteration."""
         B, N, _ = xyz.shape
         A = 240 if self.cfg.use_2d else self.cfg.kpconv_kanchor
         # Every input cloud here is in its own frame: per-point poses are the
@@ -275,7 +281,8 @@ class SlotPoseModel(nn.Module):
                 :, :, 0
             ]  # [B, N, A, C]
             x = SpherePoints(xyz, feats, None)
-        x_seg = self.backbone_sec(preprocess_input(xyz, A))
+        if x_seg is None:
+            x_seg = self.backbone_sec(preprocess_input(xyz, A))
         return x, x_seg
 
     # ------------------------------------------------------------------
@@ -287,6 +294,7 @@ class SlotPoseModel(nn.Module):
         hard_label: Optional[jnp.ndarray] = None,  # [B, N]
         slot_rng: Optional[jax.Array] = None,
         axis_prior: Optional[jnp.ndarray] = None,  # [S, 3] (slot_single_mode=0)
+        x_seg: Optional[Any] = None,               # hoisted seg-branch features
     ) -> dict[str, Any]:
         c = self.cfg
         B, N, _ = xyz.shape
@@ -295,7 +303,7 @@ class SlotPoseModel(nn.Module):
         M = c.part_pred_npoints
         anchors = self.anchors_const
 
-        x, x_seg = self._encode(xyz, x_list, hard_label)
+        x, x_seg = self._encode(xyz, x_list, hard_label, x_seg)
 
         # --- point grouping ------------------------------------------------
         ppinv, pp_conf = self.ppint_outblk(x_seg)
@@ -726,6 +734,7 @@ class SlotPoseModel(nn.Module):
             "offset_pivot_points": offset_pivot,
             "base_slot": base_slot,
             "x_next": x_next,
+            "x_seg": x_seg,
             "selected_pair_axes": sel_axes,
         }
 
@@ -758,6 +767,9 @@ class SlotPoseModel(nn.Module):
                 hard_label=hard_label,
                 slot_rng=rng,
                 axis_prior=axis_prior,
+                # seg branch runs on the original cloud — iteration-invariant
+                # (ref _38:515-518,572-576) — so reuse iteration 0's features
+                x_seg=None if out is None else out["x_seg"],
             )
             loss = loss + out["loss"]
             x_list = out["x_next"]
