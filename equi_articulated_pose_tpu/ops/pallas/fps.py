@@ -85,6 +85,11 @@ def fps_fused(
 ) -> jnp.ndarray:
     """xyz: [B, N, 3] -> idx: [B, n_sample] int32; one kernel call per batch
     row (grid over B), whole greedy loop inside the kernel."""
+    # Index selection is non-differentiable; cutting the tangent at the INPUT
+    # (not just the output) keeps jax.grad from trying to linearize the
+    # pallas_call, which has no autodiff rule and would raise
+    # "Linearization failed to produce known values for all output primals".
+    xyz = jax.lax.stop_gradient(xyz)
     B, N, _ = xyz.shape
     Np = max(128, -(-N // 128) * 128)
     Mp = max(128, -(-n_sample // 128) * 128)

@@ -1,6 +1,7 @@
 """Pallas FPS kernel: index-exact vs the XLA fori_loop implementation
 (interpret mode on CPU; the TPU lowering is exercised by training/bench)."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from equi_articulated_pose_tpu.ops.pallas.fps import fps_fused
@@ -56,3 +57,21 @@ def test_fps_public_entry_dispatch():
     a = np.asarray(furthest_point_sampling(xyz, 50))
     b = np.asarray(fps_fused(xyz, 50, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fps_fused_grad_through():
+    """fps_fused sits on the stage-1 train path (slot_pose union FPS); it
+    must be transparent to reverse-mode AD (indices are non-differentiable,
+    the tangent is cut at the input — a bare pallas_call has no autodiff
+    rule and jax.grad over it raises 'Linearization failed')."""
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+
+    def f(pts):
+        idx = fps_fused(pts, 8, interpret=True)
+        sel = jnp.take_along_axis(pts, idx[..., None], axis=1)
+        return jnp.sum(sel**2)
+
+    val, grad = jax.value_and_grad(f)(xyz)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
