@@ -86,6 +86,15 @@ class ModelConfig:
     # weight the slot->orig chamfer by the full soft attention instead of
     # hard-mask * attention (ref's commented alternative, unsup_..._38:1366)
     soft_seg_weights: bool = False
+    # with soft_seg_weights: normalise the o2r term by the POINT count
+    # instead of the per-slot attention mass.  The per-slot mean (ref's
+    # formulation) is minimised by balanced clusters (soft-k-means size
+    # prior) — measurably wrong for skewed categories (oven GT occupancy
+    # [0.81, 0.19]; the balanced run's partition was uncorrelated with the
+    # parts).  Dividing by N instead yields the true mixture-assignment
+    # loss sum_n attn[s,n]*d_s(n)/N: every point still carries a migration
+    # gradient (anti-collapse) but no cluster-size prior exists.
+    soft_seg_pointwise: bool = False
     # spherical-cap (near-vertical) axis parameterisation
     # (--mtx-based-axis-regression, eyeglasses recipe)
     mtx_based_axis_regression: bool = False

@@ -457,7 +457,16 @@ class SlotPoseModel(nn.Module):
             soft_w = attn_ori[:, :, None, :]
         else:
             soft_w = (one_hot.transpose(0, 2, 1) * attn_ori)[:, :, None, :]
-        soft_den = jnp.clip(jnp.sum(soft_w, axis=-1), 1e-8)
+        if c.soft_seg_weights and c.soft_seg_pointwise:
+            # mixture-assignment normalisation: sum_n attn*d / N.  The
+            # per-slot-mass mean below is minimised by BALANCED clusters
+            # (soft-k-means prior) — wrong for skewed categories like oven
+            # (GT occupancy [0.81, 0.19]); dividing by the constant point
+            # count keeps per-point migration gradients without any
+            # cluster-size prior.
+            soft_den = jnp.full(soft_w.shape[:-1], float(N))
+        else:
+            soft_den = jnp.clip(jnp.sum(soft_w, axis=-1), 1e-8)
 
         def orbit_cd(R_k, T_k):
             """[B,S,k,3,3], [B,S,k,3] -> (recon_to_ori, ori_to_recon) [B,S,k].

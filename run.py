@@ -51,6 +51,10 @@ def build_argparser():
         sp.add_argument("--soft-seg-weights", action="store_true",
                         help="weight the slot->orig chamfer by full soft "
                              "attention (soft-clustering segmentation dynamics)")
+        sp.add_argument("--soft-seg-pointwise", action="store_true",
+                        help="with --soft-seg-weights: normalise by point "
+                             "count (mixture loss, no balanced-cluster prior)"
+                             " instead of per-slot attention mass")
         sp.add_argument("--orbit-chunk-k", type=int, default=None,
                         help="stream the per-(slot,anchor) chamfer over "
                              "anchor chunks of this size (bounds HBM)")
@@ -112,6 +116,8 @@ def _make_cfg(args):
         model_kw["ov_max_factor"] = args.ov_max_factor
     if getattr(args, "soft_seg_weights", False):
         model_kw["soft_seg_weights"] = True
+    if getattr(args, "soft_seg_pointwise", False):
+        model_kw["soft_seg_pointwise"] = True
     if getattr(args, "orbit_chunk_k", None) is not None:
         model_kw["orbit_chunk_k"] = args.orbit_chunk_k
     if model_kw:
