@@ -94,7 +94,14 @@ class Evaluator:
             g = self.glb_model.apply(self.glb_params, xyz)
             glb_R, glb_T = g["glb_R"], g["glb_T"]
             x_in = g["inv_pts"]
-        _, out = self.model.apply(params, x_in, None)
+        # Fixed-seed slot-init noise: the reference samples slot noise at
+        # EVERY forward, eval included (slot_attention_spec_v2.py:146
+        # unconditional torch.randn) — zero noise is out-of-distribution for
+        # a model trained with noisy slot inits (observed: the tiny preset's
+        # deterministic eval degenerates to the all-one-slot partition while
+        # noisy training occupancy is fine).  A constant key keeps eval
+        # deterministic across calls while matching the reference semantics.
+        _, out = self.model.apply(params, x_in, jax.random.PRNGKey(0))
 
         S = out["attn"].shape[1]
         labels = out["hard_labels"]
