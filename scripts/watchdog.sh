@@ -38,6 +38,17 @@ while true; do
   newest=$(ls -t "$LOGDIR"/*.log 2>/dev/null | head -1)
   [ -z "$newest" ] && continue
   age=$(( $(date +%s) - $(stat -c %Y "$newest") ))
+  # Only a trainer that already made progress (last line is a step/eval/
+  # checkpoint line) is "hung mid-run" — kill-and-resume helps.  A trainer
+  # stuck BEFORE its first step usually means the relay itself is down
+  # (observed 19:12-? on 2026-08-17: even jax.devices() hangs); killing it
+  # would burn the ladder's bounded retry attempts for nothing, so leave it
+  # waiting (the ladder's `timeout 14400` still caps it).
+  last=$(tail -1 "$newest" 2>/dev/null)
+  case "$last" in
+    *"step "*|*"eval@"*|*"saved checkpoint"*) : ;;
+    *) continue ;;
+  esac
   if [ "$age" -gt "$THRESH" ]; then
     for pid in $pids; do
       # re-verify the exact cmdline before killing
