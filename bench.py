@@ -179,5 +179,45 @@ def main():
     _note("done")
 
 
+def _backend_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe the backend in a subprocess: the relay's failure mode is an
+    indefinite C-level hang inside jax.devices() (observed 2026-08-17,
+    ~1 h outage), which no in-process timeout can interrupt."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    # The relay can be down when the driver runs us.  Wait a bounded time
+    # for recovery (a real number beats none), then emit an honest
+    # "unreachable" record instead of hanging into the external timeout.
+    waited = False
+    while not _backend_reachable():
+        waited = True
+        _note("backend unreachable; waiting for relay recovery")
+        if _left() < 420.0:  # keep >=7 min for compile-cached measurement
+            _emit(
+                {
+                    "metric": "point_clouds_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "pc/s",
+                    "vs_baseline": 0.0,
+                    "backend_mode": "unreachable",
+                    "note": "TPU relay down for the whole bench window; "
+                    "see RESULTS.md for the last measured per-mode rates",
+                }
+            )
+            sys.exit(0)
+        time.sleep(60)
+    if waited:
+        _note("relay recovered; proceeding to measurement")
     main()
