@@ -215,6 +215,13 @@ PRESETS: dict[str, Config] = {
                            representation="angle", sel_mode_trans=14),
     "laptop_hoi4d": _cfg("laptop", nmasks=2, input_num=380,
                          dataset_type="hoi4d", representation="angle"),
+    # CPU-runnable mid-scale oven: big enough for part discovery (the 64-pt
+    # tiny preset cannot segment at all — see RESULTS round-3 #7), small
+    # enough for ~sec-scale CPU steps; used by the seg-loss A/B harness.
+    "mid": _cfg("oven", nmasks=2, input_num=192,
+                mlps=((32,), (64,), (128,)), out_mlp=(128,),
+                part_pred_npoints=64, glb_recon_npoints=192,
+                representation="angle"),
     "tiny": _cfg("oven", nmasks=2, input_num=64,
                  mlps=((16,), (32,)), out_mlp=(32,), num_iters=1,
                  part_pred_npoints=16, glb_recon_npoints=32,
