@@ -39,18 +39,16 @@ def sample_camera(rng: np.random.RandomState, upper_hemi: bool = True):
     return look_at(eye)
 
 
-def rasterize_depth_points(
+def depth_buffer(
     tri_world: np.ndarray,   # [T, 3, 3] posed triangles (world frame)
-    tri_label: np.ndarray,   # [T] part id per triangle
-    rng: np.random.RandomState,
+    R: np.ndarray,
+    t: np.ndarray,
     pw: int = 320,
     ph: int = 240,
     yfov: float = YFOV,
-    upper_hemi: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Rasterize posed triangles under a random camera; back-project the
-    depth buffer.  Returns (points [K, 3] world frame, labels [K])."""
-    R, t = sample_camera(rng, upper_hemi)
+    """Z-buffer the triangles under a fixed camera.  Returns
+    (depth [ph, pw], winning triangle id [ph, pw], -1 where empty)."""
     cam = tri_world @ R.T + t                      # [T, 3, 3]
     z = -cam[..., 2]                               # view depth per vertex
     focal = 1.0 / np.tan(yfov / 2.0)
@@ -97,6 +95,24 @@ def rasterize_depth_points(
         win = inside & (zi < sub_d)
         sub_d[win] = zi[win]
         sub_t[win] = ti
+    return depth, tri_id
+
+
+def rasterize_depth_points(
+    tri_world: np.ndarray,   # [T, 3, 3] posed triangles (world frame)
+    tri_label: np.ndarray,   # [T] part id per triangle
+    rng: np.random.RandomState,
+    pw: int = 320,
+    ph: int = 240,
+    yfov: float = YFOV,
+    upper_hemi: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rasterize posed triangles under a random camera; back-project the
+    depth buffer.  Returns (points [K, 3] world frame, labels [K])."""
+    R, t = sample_camera(rng, upper_hemi)
+    depth, tri_id = depth_buffer(tri_world, R, t, pw, ph, yfov)
+    focal = 1.0 / np.tan(yfov / 2.0)
+    aspect = pw / ph
 
     filled = tri_id >= 0
     if not filled.any():
