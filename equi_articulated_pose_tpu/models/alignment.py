@@ -49,6 +49,7 @@ class GlobalAlignModel(nn.Module):
                 chunk_a=c.chunk_a,
                 compute_dtype=c.compute_dtype,
                 fused=c.fused_interconv,
+                fused_bwd=c.fused_bwd,
             remat_chunks=c.remat_chunks,
             ),
             axis_name=self.axis_name,

@@ -128,6 +128,7 @@ class SlotPoseModel(nn.Module):
             chunk_a=c.chunk_a,
             compute_dtype=c.compute_dtype,
             fused=c.fused_interconv,
+            fused_bwd=c.fused_bwd,
             remat_chunks=c.remat_chunks,
         )
         self.backbone = SO3Backbone(specs=specs, axis_name=self.axis_name)

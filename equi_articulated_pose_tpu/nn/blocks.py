@@ -49,6 +49,7 @@ class ConvBlockSpec:
     chunk_a: int = 0
     compute_dtype: str = "float32"
     fused: bool = False         # fused Pallas inter-conv (identity-perm path)
+    fused_bwd: bool = False     # fully-fused Pallas backward for the inter conv
     use_2d: bool = False        # product anchors (60x4 azimuthal) variant
     remat_chunks: bool = True   # remat the anchor-chunk loop in backward
 
@@ -73,6 +74,7 @@ class InterSO3ConvBlock(nn.Module):
             chunk_a=s.chunk_a,
             compute_dtype=s.compute_dtype,
             fused=s.fused,
+            fused_bwd=s.fused_bwd,
             remat_chunks=s.remat_chunks,
         )(x, seg)
         f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(y.feats)
@@ -150,6 +152,7 @@ def make_backbone_specs(
     chunk_a: int = 0,
     compute_dtype: str = "float32",
     fused: bool = False,
+    fused_bwd: bool = False,
     use_2d: bool = False,
     remat_chunks: bool = True,
 ) -> list[ConvBlockSpec]:
@@ -194,6 +197,7 @@ def make_backbone_specs(
                     chunk_a=chunk_a,
                     compute_dtype=compute_dtype,
                     fused=fused,
+                    fused_bwd=fused_bwd,
                     use_2d=use_2d,
                     remat_chunks=remat_chunks,
                 )

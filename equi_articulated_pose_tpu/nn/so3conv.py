@@ -215,6 +215,7 @@ class InterSO3Conv(nn.Module):
     chunk_a: int = 0
     compute_dtype: str = "float32"
     fused: bool = False        # fused Pallas kernel (identity-perm path only)
+    fused_bwd: bool = False    # fully-fused Pallas backward kernels
     # rematerialise chunk bodies in the backward pass; False keeps the chunk
     # activations resident instead (fewer executed ops, more HBM) — the right
     # trade when per-op overhead dominates (OPTIMIZATION.md degraded mode)
@@ -324,6 +325,7 @@ class InterSO3Conv(nn.Module):
                 self.sigma, W,
                 chunk_a=self.chunk_a or 12,
                 compute_dtype=cdt,
+                fused_bwd=self.fused_bwd,
             )
         elif self.chunk_a and A > self.chunk_a and A % self.chunk_a == 0:
             # end-to-end anchor chunking: kernel weights, the fused

@@ -133,6 +133,219 @@ def _fused_forward(
     return out[:, :M, :, 0]
 
 
+def _recompute_wg(idx_ref, gx_ref, feats_ref, rk_ref, *, sigma, cdt):
+    """Shared backward prologue: rebuild the on-the-fly kernel weights and the
+    one-hot-gathered neighbour features for THIS anchor (all VMEM)."""
+    TM, nn = idx_ref.shape[1], idx_ref.shape[2]
+    N = feats_ref.shape[1]
+    gx = gx_ref[0].astype(jnp.float32).reshape(TM * nn, 4)
+    rk = rk_ref[0].astype(jnp.float32)                        # [ks, 4]
+    gx2 = jnp.sum(gx * gx, axis=-1, keepdims=True)
+    rk2 = jnp.sum(rk * rk, axis=-1)[None, :]
+    cross = jnp.dot(gx, rk.T, preferred_element_type=jnp.float32)
+    w = jax.nn.relu(1.0 - (gx2 + rk2 - 2.0 * cross) / sigma)  # [TM*nn, ks]
+    iota3 = jax.lax.broadcasted_iota(jnp.int32, (TM, nn, N), 2)
+    onehot = (idx_ref[0][:, :, None] == iota3).astype(cdt).reshape(TM * nn, N)
+    g = jnp.dot(
+        onehot, feats_ref[0, :, 0, 0].astype(cdt),
+        preferred_element_type=jnp.float32,
+    )                                                         # [TM*nn, C]
+    return gx, rk, w, onehot, g
+
+
+def _bwd_kernel_dgx_dw(
+    idx_ref,      # [1, TM, nn]     int32
+    gx_ref,       # [1, TM, nn, 4]  f32
+    feats_ref,    # [1, N, 1, 1, C]
+    rk_ref,       # [1, ks, 4]
+    w_ref,        # [ks, C, D]
+    dout_ref,     # [1, TM, 1, 1, D] f32 cotangent
+    dgx_ref,      # [1, TM, nn, 4]  f32 out (accumulated over anchors)
+    dW_ref,       # [ks, C, D]      f32 out (accumulated over everything)
+    *,
+    sigma: float,
+    cdt,
+):
+    """Grid (B, M/TM, A), anchor innermost: dgx block fixed across the
+    trailing anchor axis, dW block fixed across the whole grid — both are
+    the standard Pallas revisited-block accumulations."""
+    TM, nn = idx_ref.shape[1], idx_ref.shape[2]
+    ks = rk_ref.shape[1]
+    C, D = w_ref.shape[1], w_ref.shape[2]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dgx_ref[...] = jnp.zeros_like(dgx_ref)
+
+    @pl.when(
+        (pl.program_id(0) == 0)
+        & (pl.program_id(1) == 0)
+        & (pl.program_id(2) == 0)
+    )
+    def _():
+        dW_ref[...] = jnp.zeros_like(dW_ref)
+
+    gx, rk, w, _onehot, g = _recompute_wg(
+        idx_ref, gx_ref, feats_ref, rk_ref, sigma=sigma, cdt=cdt
+    )
+    dout = dout_ref[0, :, 0, 0].astype(jnp.float32)           # [TM, D]
+    w3 = w.reshape(TM, nn, ks).astype(cdt)
+    g3 = g.reshape(TM, nn, C).astype(cdt)
+    # forward acc, needed for dW: [TM, ks, C]
+    acc = jax.lax.dot_general(
+        w3, g3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    dw_cols = []
+    for k in range(ks):
+        # dacc_k [TM, C] = dout @ W[k]^T (contract D)
+        dacc_k = jax.lax.dot_general(
+            dout.astype(cdt), w_ref[k].astype(cdt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dW[k] += acc[:, k, :]^T @ dout (contract TM)
+        dW_ref[k] += jax.lax.dot_general(
+            acc[:, k, :].astype(cdt), dout.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dW_ref.dtype)
+        # dw_k [TM, nn] = sum_c g3 * dacc_k  (batched over TM, contract C)
+        dw_cols.append(
+            jax.lax.dot_general(
+                g3, dacc_k[..., None].astype(cdt),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[..., 0]
+        )
+    dw = jnp.stack(dw_cols, axis=-1).reshape(TM * nn, ks)     # [TM*nn, ks]
+    mdw = jnp.where(w > 0.0, dw, 0.0) * (-2.0 / sigma)
+    # dgx = gx * sum_k mdw - mdw @ rk
+    sgx = gx * jnp.sum(mdw, axis=-1, keepdims=True) - jnp.dot(
+        mdw.astype(cdt), rk.astype(cdt), preferred_element_type=jnp.float32
+    )
+    dgx_ref[0] += sgx.reshape(TM, nn, 4).astype(dgx_ref.dtype)
+
+
+def _bwd_kernel_dfeats(
+    idx_ref,      # [1, TM, nn]     int32
+    gx_ref,       # [1, TM, nn, 4]  f32
+    feats_ref,    # [1, N, 1, 1, C]
+    rk_ref,       # [1, ks, 4]
+    w_ref,        # [ks, C, D]
+    dout_ref,     # [1, TM, 1, 1, D] f32
+    dfeats_ref,   # [1, N, 1, 1, C] f32 out (accumulated over centre tiles)
+    *,
+    sigma: float,
+    cdt,
+):
+    """Grid (B, A, M/TM), centre tile innermost: the [N, C] dfeats block for
+    (b, a) accumulates across the trailing m axis."""
+    TM, nn = idx_ref.shape[1], idx_ref.shape[2]
+    ks = rk_ref.shape[1]
+    C = w_ref.shape[1]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+
+    _gx, _rk, w, onehot, _g = _recompute_wg(
+        idx_ref, gx_ref, feats_ref, rk_ref, sigma=sigma, cdt=cdt
+    )
+    dout = dout_ref[0, :, 0, 0].astype(jnp.float32)           # [TM, D]
+    w3 = w.reshape(TM, nn, ks).astype(cdt)
+    dg = jnp.zeros((TM, nn, C), dtype=jnp.float32)
+    for k in range(ks):
+        dacc_k = jax.lax.dot_general(
+            dout.astype(cdt), w_ref[k].astype(cdt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dg = dg + w3[:, :, k][..., None].astype(jnp.float32) * dacc_k[:, None, :]
+    # dfeats[n, c] += onehot^T @ dg (contract the TM*nn rows)
+    dfeats_ref[0, :, 0, 0] += jax.lax.dot_general(
+        onehot, dg.reshape(TM * nn, C).astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dfeats_ref.dtype)
+
+
+def _fused_backward(
+    feats, ball_idx, grouped_xyz, anchors, kernels, sigma, W, dout,
+    compute_dtype, interpret,
+):
+    """Pallas backward: (dfeats, dgrouped_xyz, dW) for the fused conv."""
+    B, N, A, C = feats.shape
+    M, nn = ball_idx.shape[1], ball_idx.shape[2]
+    ks = kernels.shape[0]
+    D = W.shape[2]
+    Mp = -(-M // _TM) * _TM
+
+    rk = jnp.einsum("aij,kj->aki", anchors, kernels)
+    rk4 = jnp.pad(rk, ((0, 0), (0, 0), (0, 1)))
+    gx4 = jnp.pad(
+        grouped_xyz.astype(jnp.float32),
+        ((0, 0), (0, Mp - M), (0, 0), (0, 1)),
+    )
+    idx_p = jnp.pad(
+        ball_idx.astype(jnp.int32), ((0, 0), (0, Mp - M), (0, 0)),
+        constant_values=N + 1,
+    )
+    feats_a = feats[:, :, :, None, :]
+    # zero-padded cotangent: padded centre rows contribute nothing
+    dout_p = jnp.pad(
+        dout.astype(jnp.float32), ((0, 0), (0, Mp - M), (0, 0), (0, 0))
+    )[:, :, :, None, :]                                       # [B, Mp, A, 1, D]
+
+    common_in = [idx_p, gx4, feats_a, rk4, W]
+    kw = dict(sigma=float(sigma), cdt=compute_dtype)
+
+    dgx4, dW = pl.pallas_call(
+        functools.partial(_bwd_kernel_dgx_dw, **kw),
+        grid=(B, Mp // _TM, A),
+        in_specs=[
+            pl.BlockSpec((1, _TM, nn), lambda b, m, a: (b, m, 0)),
+            pl.BlockSpec((1, _TM, nn, 4), lambda b, m, a: (b, m, 0, 0)),
+            pl.BlockSpec((1, N, 1, 1, C), lambda b, m, a: (b, 0, a, 0, 0)),
+            pl.BlockSpec((1, ks, 4), lambda b, m, a: (a, 0, 0)),
+            pl.BlockSpec((ks, C, D), lambda b, m, a: (0, 0, 0)),
+            pl.BlockSpec((1, _TM, 1, 1, D), lambda b, m, a: (b, m, a, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _TM, nn, 4), lambda b, m, a: (b, m, 0, 0)),
+            pl.BlockSpec((ks, C, D), lambda b, m, a: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Mp, nn, 4), jnp.float32),
+            jax.ShapeDtypeStruct((ks, C, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*common_in, dout_p)
+
+    dfeats = pl.pallas_call(
+        functools.partial(_bwd_kernel_dfeats, **kw),
+        grid=(B, A, Mp // _TM),
+        in_specs=[
+            pl.BlockSpec((1, _TM, nn), lambda b, a, m: (b, m, 0)),
+            pl.BlockSpec((1, _TM, nn, 4), lambda b, a, m: (b, m, 0, 0)),
+            pl.BlockSpec((1, N, 1, 1, C), lambda b, a, m: (b, 0, a, 0, 0)),
+            pl.BlockSpec((1, ks, 4), lambda b, a, m: (a, 0, 0)),
+            pl.BlockSpec((ks, C, D), lambda b, a, m: (0, 0, 0)),
+            pl.BlockSpec((1, _TM, 1, 1, D), lambda b, a, m: (b, m, a, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, 1, 1, C), lambda b, a, m: (b, 0, a, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, A, 1, C), jnp.float32),
+        interpret=interpret,
+    )(*common_in, dout_p)
+
+    return (
+        dfeats[:, :, :, 0].astype(feats.dtype),
+        dgx4[:, :M, :, :3].astype(grouped_xyz.dtype),
+        dW.astype(W.dtype),
+    )
+
+
 def _xla_chunked(
     feats, ball_idx, grouped_xyz, anchors, kernels, sigma, W, chunk_a,
     compute_dtype,
@@ -185,17 +398,22 @@ def inter_conv_fused(
     kernels: jnp.ndarray,      # [ks, 3]
     sigma: float,
     W: jnp.ndarray,            # [ks, C, D]
-    chunk_a: int = 12,         # backward anchor-chunk size
+    chunk_a: int = 12,         # backward anchor-chunk size (XLA backward)
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    fused_bwd: bool = False,   # Pallas backward kernels instead of XLA
 ) -> jnp.ndarray:
     """-> [B, M, A, D].  Identity anchor permutation only (active path).
 
     Differentiable: the forward runs the fused Pallas kernel; the backward
-    linearises the mathematically-identical anchor-chunked XLA composition
-    (``_xla_chunked``) at the same primals — gradients for ``feats``,
-    ``grouped_xyz`` and ``W`` match the unfused path (the round-2 fused
-    kernel had no VJP at all, so it could never be trained through)."""
+    either linearises the mathematically-identical anchor-chunked XLA
+    composition (``_xla_chunked``) at the same primals (default), or — with
+    ``fused_bwd`` — runs two Pallas kernels that recompute the VMEM
+    intermediates and emit (dfeats, dgrouped_xyz, dW) directly, never
+    re-materialising the [B, M, nn, A, C] gather in HBM.  Gradients for
+    ``feats``, ``grouped_xyz`` and ``W`` match the unfused path either way
+    (the round-2 fused kernel had no VJP at all, so it could never be
+    trained through)."""
 
     @jax.custom_vjp
     def _f(feats, gx, W):
@@ -209,6 +427,11 @@ def inter_conv_fused(
 
     def _bwd(res, g):
         f0, gx0, W0 = res
+        if fused_bwd:
+            return _fused_backward(
+                f0, ball_idx, gx0, anchors, kernels, sigma, W0, g,
+                compute_dtype, interpret,
+            )
         _, vjp = jax.vjp(
             lambda f_, gx_, W_: _xla_chunked(
                 f_, ball_idx, gx_, anchors, kernels, sigma, W_,

@@ -40,6 +40,8 @@ def build_argparser():
         sp.add_argument("--chunk-a", type=int, default=None)
         sp.add_argument("--fused", action="store_true",
                         help="fused Pallas inter-conv kernel (TPU)")
+        sp.add_argument("--fused-bwd", action="store_true",
+                        help="fully-fused Pallas backward for the inter conv")
         sp.add_argument("--no-remat-chunks", action="store_true",
                         help="keep anchor-chunk activations for backward "
                              "instead of rematerialising (fewer executed ops,"
@@ -106,6 +108,9 @@ def _make_cfg(args):
         model_kw["chunk_a"] = args.chunk_a
     if getattr(args, "fused", False):
         model_kw["fused_interconv"] = True
+    if getattr(args, "fused_bwd", False):
+        model_kw["fused_interconv"] = True
+        model_kw["fused_bwd"] = True
     if getattr(args, "axis_reg_stra", None) is not None:
         model_kw["axis_reg_stra"] = args.axis_reg_stra
     if getattr(args, "no_remat_chunks", False):
