@@ -30,6 +30,7 @@ class ModelConfig:
     chunk_a: int = 0                     # anchor chunking for inter conv
     fused_interconv: bool = False        # fused Pallas inter-conv kernel
     fused_bwd: bool = False              # fully-fused Pallas backward (needs fused_interconv)
+    force_gt_labels: bool = False        # DIAGNOSTIC: teacher-force seg to GT
     # rematerialise the anchor-chunk loop in the backward pass (memory vs
     # recompute).  False trades HBM for ~1/3 fewer executed ops per inter
     # conv — the right trade when per-op overhead dominates (OPTIMIZATION.md

@@ -296,6 +296,7 @@ class SlotPoseModel(nn.Module):
         slot_rng: Optional[jax.Array] = None,
         axis_prior: Optional[jnp.ndarray] = None,  # [S, 3] (slot_single_mode=0)
         x_seg: Optional[Any] = None,               # hoisted seg-branch features
+        gt_label: Optional[jnp.ndarray] = None,    # [B, N] teacher-forced seg
     ) -> dict[str, Any]:
         c = self.cfg
         B, N, _ = xyz.shape
@@ -309,6 +310,12 @@ class SlotPoseModel(nn.Module):
         # --- point grouping ------------------------------------------------
         ppinv, pp_conf = self.ppint_outblk(x_seg)
         slots, attn_ori = self.slot_attention(ppinv, slot_rng)  # [B,S,N]
+        if gt_label is not None:
+            # teacher-forced partition (diagnostic): does the objective
+            # PREFER the part-aligned assignment once heads/decoders are fit
+            # to it?  Sharp-but-soft so the o2r weighting stays well-defined.
+            oh_gt = jax.nn.one_hot(gt_label, S, axis=-1).transpose(0, 2, 1)
+            attn_ori = 0.98 * oh_gt + 0.02 / S
         hard_labels = jnp.argmax(attn_ori, axis=1)              # [B, N]
         one_hot = jax.nn.one_hot(hard_labels, S, axis=-1)       # [B, N, S]
         masks = jnp.moveaxis(one_hot, -1, 0)                    # [S, B, N]
@@ -754,6 +761,7 @@ class SlotPoseModel(nn.Module):
         xyz: jnp.ndarray,
         rngs: Optional[jax.Array] = None,
         axis_prior: Optional[jnp.ndarray] = None,
+        gt_label: Optional[jnp.ndarray] = None,
     ):
         """Multi-iteration forward (ref ``forward``, :3335-3379).
 
@@ -780,6 +788,7 @@ class SlotPoseModel(nn.Module):
                 # seg branch runs on the original cloud — iteration-invariant
                 # (ref _38:515-518,572-576) — so reuse iteration 0's features
                 x_seg=None if out is None else out["x_seg"],
+                gt_label=gt_label,
             )
             loss = loss + out["loss"]
             x_list = out["x_next"]

@@ -135,7 +135,11 @@ class Trainer:
             g = self.glb_model.apply(jax.lax.stop_gradient(self.glb_params), xyz)
             xyz = jax.lax.stop_gradient(g["inv_pts"])
         (loss, out), mstate = self.model.apply(
-            params, xyz, rng, axis_prior, mutable=["batch_stats", "state"]
+            params, xyz, rng, axis_prior,
+            gt_label=(
+                batch["label"] if self.cfg.model.force_gt_labels else None
+            ),
+            mutable=["batch_stats", "state"],
         )
         metrics = {
             "glb_loss": out["glb_loss"],

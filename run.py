@@ -42,6 +42,9 @@ def build_argparser():
                         help="fused Pallas inter-conv kernel (TPU)")
         sp.add_argument("--fused-bwd", action="store_true",
                         help="fully-fused Pallas backward for the inter conv")
+        sp.add_argument("--force-gt-labels", action="store_true",
+                        help="DIAGNOSTIC: teacher-force the slot partition "
+                             "to the GT segmentation")
         sp.add_argument("--no-remat-chunks", action="store_true",
                         help="keep anchor-chunk activations for backward "
                              "instead of rematerialising (fewer executed ops,"
@@ -111,6 +114,8 @@ def _make_cfg(args):
     if getattr(args, "fused_bwd", False):
         model_kw["fused_interconv"] = True
         model_kw["fused_bwd"] = True
+    if getattr(args, "force_gt_labels", False):
+        model_kw["force_gt_labels"] = True
     if getattr(args, "axis_reg_stra", None) is not None:
         model_kw["axis_reg_stra"] = args.axis_reg_stra
     if getattr(args, "no_remat_chunks", False):
