@@ -256,6 +256,11 @@ def build_sample(
     if noise_std > 0:
         transformed = transformed + rng.normal(0.0, noise_std, transformed.shape)
 
+    # per-point seg of the FULL (canonical-order) cloud — the partial branch
+    # below replaces point_seg with the visible subset's labels, but the
+    # canonical cloud keeps the full ordering
+    canon_point_seg = point_seg
+
     # --- optional mesh-rasterized single-view partial scan ---------------
     if mesh is not None and partial_rng is not None:
         from .rasterize import rasterize_depth_points
@@ -311,6 +316,10 @@ def build_sample(
         "oorr_pc": f32(transformed[fps_oorr]),
         "oorr_canon_pc": f32(canon_pts[canon_oorr]),
         "label": point_seg[fps_idx].astype(np.int32),
+        # seg labels aligned with canon_pc's own FPS indices (equals `label`
+        # for complete clouds; differs for partial views where the posed and
+        # canonical clouds have independent orderings)
+        "canon_label": canon_point_seg[canon_fps].astype(np.int32),
         "oorr_label": point_seg[fps_oorr].astype(np.int32),
         "pose": f32(pose_pts[fps_idx]),
         "pose_segs": f32(pose_segs),

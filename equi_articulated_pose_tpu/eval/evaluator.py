@@ -79,12 +79,14 @@ class Evaluator:
         self._posed_fn = jax.jit(self._forward_posed)
 
     # ------------------------------------------------------------------
-    def _slot_outputs(self, params, xyz):
+    def _slot_outputs(self, params, xyz, gt_label=None):
         """One model run (glb ∘ slot): unmatched per-slot world-frame poses.
 
         Returns R_w [B,S,3,3], T_w [B,S,3] (bbox-centred on each predicted
         slot's input points), labels [B,N], axis_w [B,3], offset_pivot [B],
-        transformed pts, chamfer-L1.
+        transformed pts, chamfer-L1.  With ``cfg.model.force_gt_labels`` the
+        caller passes the GT partition and the model is teacher-forced
+        (diagnostic: pose quality given a perfect segmentation).
         """
         B = xyz.shape[0]
         glb_R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
@@ -101,7 +103,9 @@ class Evaluator:
         # deterministic eval degenerates to the all-one-slot partition while
         # noisy training occupancy is fine).  A constant key keeps eval
         # deterministic across calls while matching the reference semantics.
-        _, out = self.model.apply(params, x_in, jax.random.PRNGKey(0))
+        _, out = self.model.apply(
+            params, x_in, jax.random.PRNGKey(0), gt_label=gt_label
+        )
 
         S = out["attn"].shape[1]
         labels = out["hard_labels"]
@@ -138,7 +142,10 @@ class Evaluator:
     def _forward_posed(self, params, xyz, gt_label, num_parts=None):
         """Posed run + IoU matching against GT parts."""
         P = self.cfg.model.nmasks if num_parts is None else num_parts
-        out = self._slot_outputs(params, xyz)
+        out = self._slot_outputs(
+            params, xyz,
+            gt_label if self.cfg.model.force_gt_labels else None,
+        )
         S = out["one_hot"].shape[-1]
         pred_onehot = out["one_hot"].transpose(0, 2, 1)
         gt_onehot = jax.nn.one_hot(gt_label, P).transpose(0, 2, 1)
@@ -169,7 +176,11 @@ class Evaluator:
         for i, batch in enumerate(canon_loader):
             if i >= max_batches:
                 break
-            out = self._slots_fn(self.params, jnp.asarray(batch["pc"]))
+            out = self._slots_fn(
+                self.params, jnp.asarray(batch["pc"]),
+                jnp.asarray(batch["label"])
+                if self.cfg.model.force_gt_labels else None,
+            )
             Rs.append(np.asarray(out["R_w"]))
             Ts.append(np.asarray(out["T_w"]))
             counts.append(np.asarray(out["slot_counts"]))
@@ -214,7 +225,11 @@ class Evaluator:
             out = self._posed_fn(
                 self.params, xyz, jnp.asarray(batch["label"])
             )
-            canon = self._slots_fn(self.params, jnp.asarray(batch["canon_pc"]))
+            canon = self._slots_fn(
+                self.params, jnp.asarray(batch["canon_pc"]),
+                jnp.asarray(batch["canon_label"])
+                if self.cfg.model.force_gt_labels else None,
+            )
             iou_full = self._full_iou(
                 out, xyz, jnp.asarray(batch["oorr_pc"]),
                 jnp.asarray(batch["oorr_label"]),

@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--fused-bwd", action="store_true",
+                    help="fully-fused Pallas backward (implies --fused)")
     ap.add_argument("--chunk-a", type=int, default=12)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--batch", type=int, default=4)
@@ -54,7 +56,8 @@ def main():
         compute_dtype="bfloat16",
         chunk_a=args.chunk_a,
         remat_chunks=not args.no_remat,
-        fused_interconv=args.fused,
+        fused_interconv=args.fused or args.fused_bwd,
+        fused_bwd=args.fused_bwd,
     )
     model = SlotPoseModel(cfg=cfg)
     rng = np.random.RandomState(0)
@@ -112,7 +115,8 @@ def main():
             {
                 "config": {
                     "remat": not args.no_remat,
-                    "fused": args.fused,
+                    "fused": args.fused or args.fused_bwd,
+                    "fused_bwd": args.fused_bwd,
                     "chunk_a": args.chunk_a,
                     "batch": args.batch,
                 },

@@ -139,3 +139,34 @@ def test_two_pass_evaluator_runs():
     ):
         assert k in metrics and np.isfinite(metrics[k]), k
     assert 0.0 <= metrics["seg_iou"] <= 1.0
+
+
+def test_two_pass_evaluator_teacher_forced_gt_labels():
+    """--force-gt-labels at eval: the model is teacher-forced to the GT
+    partition, so matched seg IoU must be exactly 1 and the pipeline still
+    produces finite pose metrics (the pose-given-perfect-seg diagnostic)."""
+    from equi_articulated_pose_tpu.config import get_config
+    from equi_articulated_pose_tpu.data import DataLoader, build_dataset
+    from equi_articulated_pose_tpu.models import SlotPoseModel
+
+    cfg = get_config("tiny")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, force_gt_labels=True),
+        data=dataclasses.replace(
+            cfg.data, dataset_type="synthetic", n_samples=4,
+            npoints=cfg.model.input_num,
+        ),
+        train=dataclasses.replace(cfg.train, batch_size=2),
+    )
+    model = SlotPoseModel(cfg=cfg.model)
+    xyz = jnp.zeros((1, cfg.model.input_num, 3))
+    params = model.init(jax.random.PRNGKey(0), xyz, jax.random.PRNGKey(1))
+    ev = Evaluator(cfg, model, params)
+
+    test_ds = build_dataset(cfg.data, split="test", n_shapes=2)
+    metrics = ev.evaluate(
+        DataLoader(test_ds, 2, shuffle=False, prefetch=0), None, max_batches=2
+    )
+    np.testing.assert_allclose(metrics["seg_iou"], 1.0, atol=1e-5)
+    assert np.isfinite(metrics["rot_err_deg_part0_mean"])
+    assert np.isfinite(metrics["rot_err_deg_part1_mean"])
