@@ -281,6 +281,14 @@ def _fused_backward(
     ks = kernels.shape[0]
     D = W.shape[2]
     Mp = -(-M // _TM) * _TM
+    # Degenerate channel counts (the backbones' first occupancy layer has
+    # C=1) make several dots here contract or emit a size-1 dimension;
+    # Mosaic lowers those bf16 dots via a vector.broadcast with an illegal
+    # bf16->f32 element-type change ('op failed to verify that source
+    # operand and result have same element type', observed on v5e).  f32
+    # costs nothing at C<8 (no MXU win), so sidestep the lowering entirely.
+    if C < 8:
+        compute_dtype = jnp.float32
 
     rk = jnp.einsum("aij,kj->aki", anchors, kernels)
     rk4 = jnp.pad(rk, ((0, 0), (0, 0), (0, 1)))
