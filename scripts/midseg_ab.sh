@@ -41,4 +41,10 @@ run_cpu E_pointwise train --category mid --dataset synthetic --stage 1 \
     --steps "$STEPS" --batch-size 4 --eval-freq 300 --log-freq 40 $G \
     --soft-seg-weights --soft-seg-pointwise --ov-max-factor 1.0 --ckpt-dir "$OUT/E"
 
+# P: hard weights + hinge + purity loss (nn/losses.purity_loss; the VERDICT-
+# requested ablation — the reference computes it in common_utils.py:67)
+run_cpu P_purity train --category mid --dataset synthetic --stage 1 \
+    --steps "$STEPS" --batch-size 4 --eval-freq 300 --log-freq 40 $G \
+    --ov-max-factor 1.0 --purity-factor 1.0 --ckpt-dir "$OUT/P"
+
 echo MIDSEG-AB-DONE
