@@ -220,4 +220,22 @@ if __name__ == "__main__":
         time.sleep(60)
     if waited:
         _note("relay recovered; proceeding to measurement")
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # A busy chip routes big compiles to a broken AOT helper (HTTP 500,
+        # 'Failed to find host bounds'); any other mid-bench failure would
+        # likewise leave the driver with no parseable line.  Emit an honest
+        # error record — a tagged zero beats an empty tail.
+        _note(f"bench failed: {type(e).__name__}: {e}")
+        _emit(
+            {
+                "metric": "point_clouds_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "pc/s",
+                "vs_baseline": 0.0,
+                "backend_mode": "error",
+                "note": f"{type(e).__name__}: {str(e)[:300]}",
+            }
+        )
+        sys.exit(0)

@@ -134,6 +134,8 @@ class Evaluator:
             "one_hot": one_hot,
             "slot_counts": one_hot.sum(1),
             "axis_w": axis_w,
+            "slot_orbits": out["slot_orbits"],
+            "pred_angle": out.get("pred_angle"),
             "offset_pivot": out["offset_pivot_points"],
             "tp_w": tp_w,
             "chamfer_l1": cl1,

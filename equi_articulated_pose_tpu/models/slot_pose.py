@@ -360,6 +360,7 @@ class SlotPoseModel(nn.Module):
             defined_axis = slot_axis[:, min(1, S - 1)]          # [B, A, 3]
 
         # rotation matrices (residual, pre-anchor-composition)
+        angle = None  # [B, S, A] joint angles (angle path only; telemetry)
         if c.joint_type == "prismatic":
             R_mtx = jnp.broadcast_to(jnp.eye(3), (B, S, A, 3, 3))
         elif c.representation == "angle":
@@ -541,6 +542,18 @@ class SlotPoseModel(nn.Module):
             jnp.einsum("bsij,bsmj->bsmi", pred_R, canon) + pred_T[:, :, None, :]
         )                                                           # [B, S, M, 3]
         sel_anchor = anchors[slot_orbits]                           # [B, S, 3, 3]
+
+        # articulation telemetry: the joint angle each slot actually uses at
+        # its selected orbit.  If its batch spread is ~0 the model is not
+        # articulating (the decoded canonical shape / translations absorb the
+        # state change), which simultaneously leaves the predicted joint axis
+        # unconstrained AND removes the only gradient channel that aligns
+        # slots with rigid parts — the round-3 axis=82deg-at-IoU=1.0 symptom.
+        if angle is not None:
+            ang_t = angle[:, :, trans_anchors]                      # [B, S, K]
+            pred_angle = jnp.take_along_axis(ang_t, sel, axis=2)[..., 0]
+        else:
+            pred_angle = jnp.zeros((B, S))
 
         # --- global (whole-shape) chamfer ------------------------------------
         union = (tpts_sel * indicator[..., None, None]).reshape(B, S * M, 3)
@@ -748,6 +761,7 @@ class SlotPoseModel(nn.Module):
             "slot_orbits": slot_orbits,
             "selected_anchors": sel_anchor,
             "real_defined_axis": real_axis,
+            "pred_angle": pred_angle,
             "offset_pivot_points": offset_pivot,
             "base_slot": base_slot,
             "x_next": x_next,

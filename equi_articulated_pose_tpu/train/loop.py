@@ -168,6 +168,15 @@ class Trainer:
         metrics["attn_ent"] = jax.lax.stop_gradient(
             ent.mean() / jnp.log(float(self.cfg.model.nmasks))
         )
+        # articulation telemetry: batch spread (deg) of the selected joint
+        # angle, max over slots.  ~0 means the articulation DoF is unused —
+        # the state change is being absorbed by the per-sample decoded canon
+        # shape/translation instead, leaving the joint axis unconstrained.
+        if "pred_angle" in out:
+            ang = jnp.degrees(out["pred_angle"])     # [B, S]
+            metrics["ang_spread"] = jax.lax.stop_gradient(
+                (ang.max(0) - ang.min(0)).max()
+            )
         if axis_prior is not None:
             return loss, (
                 metrics,
