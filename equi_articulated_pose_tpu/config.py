@@ -100,6 +100,19 @@ class ModelConfig:
     # spherical-cap (near-vertical) axis parameterisation
     # (--mtx-based-axis-regression, eyeglasses recipe)
     mtx_based_axis_regression: bool = False
+    # cross-state canonical-consistency weight.  Round-3 diagnosis
+    # (scripts/diag_articulation.py on the teacher-forced oven ckpt): the
+    # predicted joint angle is ~constant across articulation states (0.2 deg
+    # spread) — the per-sample decoded canonical shape absorbs the joint
+    # motion, which satisfies every chamfer term while leaving the predicted
+    # axis unconstrained (axis 82 deg at IoU 1.0) and removing the gradient
+    # channel that aligns slots with rigid parts.  With factor > 0 the
+    # trainer runs the stage-1 forward on the paired canonical-state cloud
+    # (``canon_pc`` — the reference's datasets expose the same pair as
+    # ``ori_pc``/``canon_pc``, MotionDataset.py) and penalises per-slot
+    # chamfer between the two decoded canonical shapes plus pivot/central
+    # drift, forcing the articulation to be explained by theta*axis instead.
+    canon_consist_factor: float = 0.0
 
 
 @dataclass(frozen=True)

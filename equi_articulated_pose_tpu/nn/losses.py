@@ -100,3 +100,33 @@ def ov_max_percent_loss(attn: jnp.ndarray, eps: float = 1e-8):
     S = attn.shape[1]
     tau = 1.0 / (3.0 * S)
     return (jnp.clip(tau - occ, 0.0) / tau).sum(-1).mean()
+
+
+def canon_consistency_loss(out_posed: dict, out_canon: dict) -> "jnp.ndarray":
+    """Cross-articulation-state canonical consistency (round-3 axis fix).
+
+    Both dicts are ``SlotPoseModel`` outputs for the SAME instances — one on
+    the posed cloud, one on the paired canonical-state cloud (``canon_pc``;
+    the reference datasets ship the same pair, MotionDataset.py).  Slots
+    correspond by index (same learned queries, same slot rng).  The decoded
+    canonical shape of a rigid part is a state-INVARIANT quantity: if the two
+    decodes differ, the decoder is absorbing the joint motion — the
+    degeneracy that leaves the predicted joint axis unconstrained
+    (scripts/diag_articulation.py).  Penalises per-slot symmetric chamfer
+    between the decodes plus pivot / per-slot central drift; gauge-free (both
+    decodes live in the learned canonical frame), so it needs no alignment.
+    """
+    from ..ops.chamfer import chamfer_sq
+
+    cp = out_posed["slot_canon"]                  # [B, S, M, 3]
+    cc = out_canon["slot_canon"]
+    B, S, M, _ = cp.shape
+    d1, d2 = chamfer_sq(cp.reshape(B * S, M, 3), cc.reshape(B * S, M, 3))
+    consist = d1.mean() + d2.mean()
+    consist = consist + jnp.sum(
+        (out_posed["pv_points"] - out_canon["pv_points"]) ** 2, -1
+    ).mean()
+    consist = consist + jnp.sum(
+        (out_posed["central_points"] - out_canon["central_points"]) ** 2, -1
+    ).mean()
+    return consist

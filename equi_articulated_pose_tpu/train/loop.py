@@ -146,6 +146,33 @@ class Trainer:
             "slot_loss": out["slot_loss"],
             "recon_l1": out["recon_l1"],
         }
+        if self.cfg.model.canon_consist_factor > 0.0:
+            # cross-state canonical consistency (config.py docstring): run
+            # the same forward on the paired canonical-state cloud — same
+            # rng, so the slot queries (and hence slot indices) correspond —
+            # and tie the two decoded canonical shapes together.  The canon
+            # pass's norm/state mutations are discarded: running stats track
+            # the posed distribution only.
+            from ..nn.losses import canon_consistency_loss
+
+            cxyz = batch["canon_pc"]
+            if self.glb_params is not None and self.cfg.train.global_rot:
+                gc = self.glb_model.apply(
+                    jax.lax.stop_gradient(self.glb_params), cxyz
+                )
+                cxyz = jax.lax.stop_gradient(gc["inv_pts"])
+            (_closs, cout), _ = self.model.apply(
+                params, cxyz, rng, axis_prior,
+                gt_label=(
+                    batch["canon_label"]
+                    if self.cfg.model.force_gt_labels
+                    else None
+                ),
+                mutable=["batch_stats", "state"],
+            )
+            consist = canon_consistency_loss(out, cout)
+            loss = loss + self.cfg.model.canon_consist_factor * consist
+            metrics["consist"] = jax.lax.stop_gradient(consist)
         # segmentation IoU vs GT (logging only; ref trainer:657-735)
         S = self.cfg.model.nmasks
         pred_onehot = jax.nn.one_hot(out["hard_labels"], S).transpose(0, 2, 1)
@@ -237,6 +264,8 @@ class Trainer:
         # dense eval-only arrays (oorr clouds, per-point poses) whose per-step
         # host->device transfer dominates wall clock on relayed TPU setups.
         step_keys = ("pc",) if self.stage == 0 else ("pc", "label", "pose_segs")
+        if self.stage == 1 and self.cfg.model.canon_consist_factor > 0.0:
+            step_keys = step_keys + ("canon_pc", "canon_label")
 
         timer = Timer()
         K = self._k_per_call

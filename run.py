@@ -53,6 +53,11 @@ def build_argparser():
                         help="weight of the slot-confidence (purity) loss")
         sp.add_argument("--ov-max-factor", type=float, default=None,
                         help="weight of the anti-collapse max-slot-occupancy loss")
+        sp.add_argument("--canon-consist", type=float, default=None,
+                        help="weight of the cross-state canonical-consistency"
+                             " loss (pairs each posed cloud with its"
+                             " canonical-state twin; forces the joint motion"
+                             " into theta*axis instead of the decoder)")
         sp.add_argument("--soft-seg-weights", action="store_true",
                         help="weight the slot->orig chamfer by full soft "
                              "attention (soft-clustering segmentation dynamics)")
@@ -124,6 +129,8 @@ def _make_cfg(args):
         model_kw["purity_factor"] = args.purity_factor
     if getattr(args, "ov_max_factor", None) is not None:
         model_kw["ov_max_factor"] = args.ov_max_factor
+    if getattr(args, "canon_consist", None) is not None:
+        model_kw["canon_consist_factor"] = args.canon_consist
     if getattr(args, "soft_seg_weights", False):
         model_kw["soft_seg_weights"] = True
     if getattr(args, "soft_seg_pointwise", False):

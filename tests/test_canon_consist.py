@@ -1,0 +1,84 @@
+"""Cross-state canonical-consistency loss (round-3 articulation fix).
+
+The degeneracy it targets: the per-sample decoded canonical shape can absorb
+the joint motion, satisfying every chamfer term while the predicted joint
+angle stays constant and the axis stays unconstrained
+(scripts/diag_articulation.py; config.py canon_consist_factor docstring).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from equi_articulated_pose_tpu.config import get_config
+from equi_articulated_pose_tpu.nn.losses import canon_consistency_loss
+from equi_articulated_pose_tpu.parallel.mesh import make_mesh
+from equi_articulated_pose_tpu.train import Trainer
+
+
+def _cfg(tmp_path, factor):
+    cfg = get_config("tiny")
+    return cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset_type="synthetic", n_samples=4,
+            npoints=cfg.model.input_num,
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, log_freq=1, save_freq=100,
+            global_rot=False,
+        ),
+        model=dataclasses.replace(cfg.model, canon_consist_factor=factor),
+        model_dir=str(tmp_path),
+    )
+
+
+def test_unit_zero_when_identical_and_positive_when_not():
+    rng = np.random.RandomState(0)
+    out = {
+        "slot_canon": jnp.asarray(rng.randn(2, 2, 16, 3)),
+        "pv_points": jnp.asarray(rng.randn(2, 1, 3)),
+        "central_points": jnp.asarray(rng.randn(2, 2, 3)),
+    }
+    z = canon_consistency_loss(out, out)
+    # pairwise_sqdist computes |a|^2+|b|^2-2ab, so the self-distance is only
+    # zero to float32 rounding
+    assert abs(float(z)) < 1e-5
+    out2 = {k: v + 0.1 for k, v in out.items()}
+    assert float(canon_consistency_loss(out, out2)) > 1e-3
+
+
+def test_consist_metric_zero_for_identical_states(tmp_path):
+    """When canon_pc IS the posed cloud, the two passes share inputs and the
+    slot rng, so the decoded shapes match exactly and consist == 0 — this
+    pins the slot-index correspondence the loss relies on."""
+    cfg = _cfg(tmp_path, 1.0)
+    tr = Trainer(cfg, stage=1, mesh=make_mesh(1), log_dir=str(tmp_path))
+    batch = next(iter(tr.loader))
+    batch = {k: jnp.asarray(np.asarray(v)[:2]) for k, v in batch.items()}
+    batch["canon_pc"] = batch["pc"]
+    batch["canon_label"] = batch["label"]
+    tr.init_params(batch)
+    loss, (metrics, _) = tr._loss_fn(
+        tr.params, batch, jax.random.PRNGKey(3)
+    )
+    assert np.isfinite(float(loss))
+    assert float(metrics["consist"]) < 1e-6
+
+
+def test_training_step_runs_and_grads_flow(tmp_path):
+    cfg = _cfg(tmp_path, 1.0)
+    tr = Trainer(cfg, stage=1, mesh=make_mesh(1), log_dir=str(tmp_path))
+    batch = next(iter(tr.loader))
+    batch = {k: jnp.asarray(np.asarray(v)[:2]) for k, v in batch.items()}
+    tr.init_params(batch)
+
+    def loss_of(p):
+        loss, _ = tr._loss_fn(p, batch, jax.random.PRNGKey(0))
+        return loss
+
+    g = jax.grad(loss_of)(tr.params)
+    gn = sum(
+        float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g)
+    )
+    assert np.isfinite(gn) and gn > 0.0
