@@ -32,7 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_TM = 32  # output centres per grid step
+_TM = 32   # output centres per grid step (forward)
+# Backward kernels carry ~4x the live temporaries of the forward (recomputed
+# w/onehot/g PLUS dout-side products), and at TM=32/N=380 their scoped-vmem
+# stack overflows the 16M v5e limit (25.6M observed for the C=64 layer,
+# 28.9M for the f32 C=1 layer).  A smaller centre tile halves every
+# [TM*nn, *] temporary; grid overhead is amortised by the MXU dots.
+_TMB = 8   # output centres per grid step (backward)
 
 
 def _kernel(
@@ -280,7 +286,7 @@ def _fused_backward(
     M, nn = ball_idx.shape[1], ball_idx.shape[2]
     ks = kernels.shape[0]
     D = W.shape[2]
-    Mp = -(-M // _TM) * _TM
+    Mp = -(-M // _TMB) * _TMB
     # Degenerate channel counts (the backbones' first occupancy layer has
     # C=1) make several dots here contract or emit a size-1 dimension;
     # Mosaic lowers those bf16 dots via a vector.broadcast with an illegal
@@ -311,17 +317,17 @@ def _fused_backward(
 
     dgx4, dW = pl.pallas_call(
         functools.partial(_bwd_kernel_dgx_dw, **kw),
-        grid=(B, Mp // _TM, A),
+        grid=(B, Mp // _TMB, A),
         in_specs=[
-            pl.BlockSpec((1, _TM, nn), lambda b, m, a: (b, m, 0)),
-            pl.BlockSpec((1, _TM, nn, 4), lambda b, m, a: (b, m, 0, 0)),
+            pl.BlockSpec((1, _TMB, nn), lambda b, m, a: (b, m, 0)),
+            pl.BlockSpec((1, _TMB, nn, 4), lambda b, m, a: (b, m, 0, 0)),
             pl.BlockSpec((1, N, 1, 1, C), lambda b, m, a: (b, 0, a, 0, 0)),
             pl.BlockSpec((1, ks, 4), lambda b, m, a: (a, 0, 0)),
             pl.BlockSpec((ks, C, D), lambda b, m, a: (0, 0, 0)),
-            pl.BlockSpec((1, _TM, 1, 1, D), lambda b, m, a: (b, m, a, 0, 0)),
+            pl.BlockSpec((1, _TMB, 1, 1, D), lambda b, m, a: (b, m, a, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, _TM, nn, 4), lambda b, m, a: (b, m, 0, 0)),
+            pl.BlockSpec((1, _TMB, nn, 4), lambda b, m, a: (b, m, 0, 0)),
             pl.BlockSpec((ks, C, D), lambda b, m, a: (0, 0, 0)),
         ],
         out_shape=[
@@ -333,14 +339,14 @@ def _fused_backward(
 
     dfeats = pl.pallas_call(
         functools.partial(_bwd_kernel_dfeats, **kw),
-        grid=(B, A, Mp // _TM),
+        grid=(B, A, Mp // _TMB),
         in_specs=[
-            pl.BlockSpec((1, _TM, nn), lambda b, a, m: (b, m, 0)),
-            pl.BlockSpec((1, _TM, nn, 4), lambda b, a, m: (b, m, 0, 0)),
+            pl.BlockSpec((1, _TMB, nn), lambda b, a, m: (b, m, 0)),
+            pl.BlockSpec((1, _TMB, nn, 4), lambda b, a, m: (b, m, 0, 0)),
             pl.BlockSpec((1, N, 1, 1, C), lambda b, a, m: (b, 0, a, 0, 0)),
             pl.BlockSpec((1, ks, 4), lambda b, a, m: (a, 0, 0)),
             pl.BlockSpec((ks, C, D), lambda b, a, m: (0, 0, 0)),
-            pl.BlockSpec((1, _TM, 1, 1, D), lambda b, a, m: (b, m, a, 0, 0)),
+            pl.BlockSpec((1, _TMB, 1, 1, D), lambda b, a, m: (b, m, a, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, N, 1, 1, C), lambda b, a, m: (b, 0, a, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, N, A, 1, C), jnp.float32),
@@ -422,6 +428,25 @@ def inter_conv_fused(
     ``feats``, ``grouped_xyz`` and ``W`` match the unfused path either way
     (the round-2 fused kernel had no VJP at all, so it could never be
     trained through)."""
+    if fused_bwd and feats.shape[-1] < 8:
+        # Degenerate-channel layers (the backbones' C=1 occupancy layer) run
+        # the kernels in f32 (see _fused_backward's Mosaic note), which
+        # doubles the [TM*nn, N] one-hot/iota temporaries: the dgx/dW kernel's
+        # scoped-vmem stack then overflows the 16M v5e limit (observed 28.85M
+        # at B=8/N=380/nn=64, logs_r3/ab_fusedbwd2.err).  The XLA backward is
+        # mathematically identical and costs nothing at C=1 (no MXU win to
+        # preserve), so route these layers there and keep the fused backward
+        # for the wide layers it was built for.
+        fused_bwd = False
+    if fused_bwd and kernels.shape[0] * feats.shape[-1] * W.shape[2] * 4 > 2**22:
+        # Very wide layers (the backbones' last 128->512 conv): the dgx/dW
+        # backward kernel must hold the full [ks, C, D] weight block AND an
+        # f32 dW accumulator of the same shape across the whole grid — 6.3M
+        # each at ks=24/C=128/D=512, overflowing scoped vmem (18.25M
+        # observed) regardless of the centre-tile size.  Tiling dW over a
+        # ks/D grid axis is possible but these layers are few and MXU-bound,
+        # so the XLA backward loses little; route them there.
+        fused_bwd = False
 
     @jax.custom_vjp
     def _f(feats, gx, W):

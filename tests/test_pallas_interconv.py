@@ -142,3 +142,41 @@ def test_fused_interconv_pallas_backward_matches_reference():
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
             err_msg=name,
         )
+
+
+def test_fused_bwd_degenerate_channels_grads_match():
+    """C=1 (the backbones' occupancy layer) with fused_bwd=True: routed to
+    the XLA backward (the f32 Pallas bwd kernel overflows scoped vmem on
+    v5e — interconv.py inter_conv_fused) but gradients must still match the
+    reference exactly."""
+    rng = np.random.RandomState(5)
+    B, N, A, C, D, nn, M = 1, 40, 12, 1, 16, 8, 37
+    feats = jnp.asarray(rng.randn(B, N, A, C).astype(np.float32))
+    ball_idx = jnp.asarray(rng.randint(0, N, (B, M, nn)).astype(np.int32))
+    gx = jnp.asarray(rng.randn(B, M, nn, 3).astype(np.float32) * 0.15)
+    anchors = jnp.asarray(so3.get_anchors(60)[:A])
+    kernels = jnp.asarray(spherical_kernel_points(0.3, 1))
+    W = jnp.asarray(rng.randn(kernels.shape[0], C, D).astype(np.float32) * 0.1)
+    sigma = 0.08
+    cot = jnp.asarray(rng.randn(B, M, A, D).astype(np.float32))
+
+    def loss_fused(f, g_, w_):
+        out = inter_conv_fused(
+            f, ball_idx, g_, anchors, kernels, sigma, w_,
+            compute_dtype=jnp.float32, interpret=True, fused_bwd=True,
+        )
+        return jnp.sum(out * cot)
+
+    def loss_ref(f, g_, w_):
+        out = inter_conv_fused_reference(
+            f, ball_idx, g_, anchors, kernels, sigma, w_
+        )
+        return jnp.sum(out * cot)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(feats, gx, W)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(feats, gx, W)
+    for name, a, b in zip(("dfeats", "dgx", "dW"), gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
