@@ -161,7 +161,17 @@ class Trainer:
                     jax.lax.stop_gradient(self.glb_params), cxyz
                 )
                 cxyz = jax.lax.stop_gradient(gc["inv_pts"])
-            (_closs, cout), _ = self.model.apply(
+
+            # One-sided (target-network style): holding BOTH forwards'
+            # residuals for backward exceeds HBM (17.5G vs 15.75G at oven
+            # b4), and wrapping the canon pass in jax.checkpoint leaks
+            # tracers through the nested remat inside the chunked/fused conv
+            # backward.  stop_gradient instead: the canon pass is forward-
+            # only (XLA stores no residuals for it), and the posed decodes
+            # are pulled toward the per-instance canonical-state target —
+            # which still removes the state-absorbing degeneracy, since the
+            # target cannot chase the posed decode back.
+            (_cl, cout), _ = self.model.apply(
                 params, cxyz, rng, axis_prior,
                 gt_label=(
                     batch["canon_label"]
@@ -170,7 +180,11 @@ class Trainer:
                 ),
                 mutable=["batch_stats", "state"],
             )
-            consist = canon_consistency_loss(out, cout)
+            ctgt = jax.lax.stop_gradient({
+                k: cout[k]
+                for k in ("slot_canon", "pv_points", "central_points")
+            })
+            consist = canon_consistency_loss(out, ctgt)
             loss = loss + self.cfg.model.canon_consist_factor * consist
             metrics["consist"] = jax.lax.stop_gradient(consist)
         # segmentation IoU vs GT (logging only; ref trainer:657-735)
