@@ -113,6 +113,17 @@ class ModelConfig:
     # chamfer between the two decoded canonical shapes plus pivot/central
     # drift, forcing the articulation to be explained by theta*axis instead.
     canon_consist_factor: float = 0.0
+    # axis supervision from the relative predicted pose across articulation
+    # states (requires canon_consist_factor > 0 for the paired forward).
+    # Once the decoded canonical shapes are tied across states, the relative
+    # pose rel_R = R_posed @ R_canon^T of a slot must equal the TRUE joint
+    # motion for the chamfer terms to hold — so rel_R's rotation axis is an
+    # unsupervised target for the predicted joint axis, available even while
+    # the per-anchor angle head is degenerate (the orbit SELECTION carries
+    # the articulation discretely).  Weighted by sin(rel angle) (= |antisym
+    # part|/2): near-canonical pairs contribute nothing, so early-training
+    # noise self-gates.  Target is stop-gradient'd; only the axis head moves.
+    axis_from_relpose: float = 0.0
 
 
 @dataclass(frozen=True)

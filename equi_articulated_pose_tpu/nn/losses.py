@@ -130,3 +130,34 @@ def canon_consistency_loss(out_posed: dict, out_canon: dict) -> "jnp.ndarray":
         (out_posed["central_points"] - out_canon["central_points"]) ** 2, -1
     ).mean()
     return consist
+
+
+def axis_from_relpose_loss(
+    pred_R_posed: "jnp.ndarray",   # [B, S, 3, 3]
+    pred_R_canon: "jnp.ndarray",   # [B, S, 3, 3] (already stop-gradient'd)
+    axis_w: "jnp.ndarray",         # [B, 3] predicted world joint axis
+) -> "jnp.ndarray":
+    """Unsupervised joint-axis target from cross-state relative pose.
+
+    rel = R_posed R_canon^T per slot; its antisymmetric part a has
+    |a| = 2 sin(theta) and direction = rotation axis, so
+    sum_s |a_s|/2 * (1 - |<a_s/|a_s|, axis_w>|) penalises the predicted
+    axis against every slot's relative-motion axis, weighted by how much
+    that slot actually moved (ill-defined near theta=0, and the weight
+    vanishes there).  The target a is detached: poses are trained by the
+    chamfer/consistency terms, only the axis head follows.
+    """
+    rel = jnp.einsum("bsij,bskj->bsik", pred_R_posed, pred_R_canon)
+    a = jnp.stack(
+        [
+            rel[..., 2, 1] - rel[..., 1, 2],
+            rel[..., 0, 2] - rel[..., 2, 0],
+            rel[..., 1, 0] - rel[..., 0, 1],
+        ],
+        axis=-1,
+    )                                                     # [B, S, 3]
+    a = jax.lax.stop_gradient(a)
+    n = jnp.linalg.norm(a, axis=-1)                       # 2 sin(theta)
+    dirs = a / jnp.clip(n[..., None], 1e-6)
+    align = jnp.abs(jnp.einsum("bsj,bj->bs", dirs, axis_w))
+    return (0.5 * n * (1.0 - align)).sum(-1).mean()

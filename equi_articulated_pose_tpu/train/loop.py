@@ -182,11 +182,20 @@ class Trainer:
             )
             ctgt = jax.lax.stop_gradient({
                 k: cout[k]
-                for k in ("slot_canon", "pv_points", "central_points")
+                for k in ("slot_canon", "pv_points", "central_points",
+                          "pred_R")
             })
             consist = canon_consistency_loss(out, ctgt)
             loss = loss + self.cfg.model.canon_consist_factor * consist
             metrics["consist"] = jax.lax.stop_gradient(consist)
+            if self.cfg.model.axis_from_relpose > 0.0:
+                from ..nn.losses import axis_from_relpose_loss
+
+                ax_rel = axis_from_relpose_loss(
+                    out["pred_R"], ctgt["pred_R"], out["real_defined_axis"]
+                )
+                loss = loss + self.cfg.model.axis_from_relpose * ax_rel
+                metrics["ax_rel"] = jax.lax.stop_gradient(ax_rel)
         # segmentation IoU vs GT (logging only; ref trainer:657-735)
         S = self.cfg.model.nmasks
         pred_onehot = jax.nn.one_hot(out["hard_labels"], S).transpose(0, 2, 1)

@@ -53,6 +53,9 @@ def build_argparser():
                         help="weight of the slot-confidence (purity) loss")
         sp.add_argument("--ov-max-factor", type=float, default=None,
                         help="weight of the anti-collapse max-slot-occupancy loss")
+        sp.add_argument("--axis-from-relpose", type=float, default=None,
+                        help="weight of the cross-state relative-pose axis"
+                             " supervision (needs --canon-consist)")
         sp.add_argument("--canon-consist", type=float, default=None,
                         help="weight of the cross-state canonical-consistency"
                              " loss (pairs each posed cloud with its"
@@ -131,6 +134,8 @@ def _make_cfg(args):
         model_kw["ov_max_factor"] = args.ov_max_factor
     if getattr(args, "canon_consist", None) is not None:
         model_kw["canon_consist_factor"] = args.canon_consist
+    if getattr(args, "axis_from_relpose", None) is not None:
+        model_kw["axis_from_relpose"] = args.axis_from_relpose
     if getattr(args, "soft_seg_weights", False):
         model_kw["soft_seg_weights"] = True
     if getattr(args, "soft_seg_pointwise", False):

@@ -86,3 +86,31 @@ def test_training_step_runs_and_grads_flow(tmp_path):
         float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g)
     )
     assert np.isfinite(gn) and gn > 0.0
+
+
+def test_axis_from_relpose_loss_geometry():
+    """Known relative rotation: the loss is ~0 when the predicted axis
+    matches the rel-rot axis and ~sin(theta) when orthogonal; zero weight
+    at theta=0 regardless of the axis."""
+    from equi_articulated_pose_tpu.geom.so3 import axis_angle_to_matrix
+    from equi_articulated_pose_tpu.nn.losses import axis_from_relpose_loss
+
+    ax = jnp.array([0.0, 1.0, 0.0])
+    th = jnp.float32(np.pi / 6)                       # 30 deg
+    Rp = axis_angle_to_matrix(ax[None, None], th[None, None])  # [1,1,3,3]
+    Rc = jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3))
+
+    good = axis_from_relpose_loss(Rp, Rc, ax[None])
+    bad = axis_from_relpose_loss(Rp, Rc, jnp.array([[1.0, 0.0, 0.0]]))
+    assert float(good) < 1e-5
+    np.testing.assert_allclose(float(bad), float(jnp.sin(th)), rtol=1e-4)
+
+    # theta = 0: no constraint whatever the axis
+    zero = axis_from_relpose_loss(Rc, Rc, jnp.array([[1.0, 0.0, 0.0]]))
+    assert float(zero) < 1e-6
+
+    # gradient reaches the axis argument, not the pose targets
+    g = jax.grad(
+        lambda a: axis_from_relpose_loss(Rp, Rc, a)
+    )(jnp.array([[1.0, 0.0, 0.0]]))
+    assert float(jnp.abs(g).sum()) > 0.0
