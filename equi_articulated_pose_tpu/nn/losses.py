@@ -136,6 +136,7 @@ def axis_from_relpose_loss(
     pred_R_posed: "jnp.ndarray",   # [B, S, 3, 3]
     pred_R_canon: "jnp.ndarray",   # [B, S, 3, 3] (already stop-gradient'd)
     axis_w: "jnp.ndarray",         # [B, 3] predicted world joint axis
+    base_slot: "jnp.ndarray" = None,  # [B] int — differential vs this slot
 ) -> "jnp.ndarray":
     """Unsupervised joint-axis target from cross-state relative pose.
 
@@ -146,8 +147,20 @@ def axis_from_relpose_loss(
     that slot actually moved (ill-defined near theta=0, and the weight
     vanishes there).  The target a is detached: poses are trained by the
     chamfer/consistency terms, only the axis head follows.
+
+    With ``base_slot``, each slot's rel is right-conjugated by the base
+    slot's inverse rel: the shared component (residual global-alignment
+    error between the two states, which every slot inherits) cancels and
+    only the DIFFERENTIAL part motion — the joint rotation itself —
+    remains.  The base slot's own entry becomes ~identity and self-gates
+    through the sin weight.  (First form measured: the shared component
+    dominates and pins the axis ~56 deg off — logs_r3/ovencc2, evals
+    @200/@400.)
     """
     rel = jnp.einsum("bsij,bskj->bsik", pred_R_posed, pred_R_canon)
+    if base_slot is not None:
+        rel_b = rel[jnp.arange(rel.shape[0]), base_slot]  # [B, 3, 3]
+        rel = jnp.einsum("bsij,bkj->bsik", rel, rel_b)    # rel_s rel_b^T
     a = jnp.stack(
         [
             rel[..., 2, 1] - rel[..., 1, 2],

@@ -192,7 +192,8 @@ class Trainer:
                 from ..nn.losses import axis_from_relpose_loss
 
                 ax_rel = axis_from_relpose_loss(
-                    out["pred_R"], ctgt["pred_R"], out["real_defined_axis"]
+                    out["pred_R"], ctgt["pred_R"], out["real_defined_axis"],
+                    base_slot=out["base_slot"],
                 )
                 loss = loss + self.cfg.model.axis_from_relpose * ax_rel
                 metrics["ax_rel"] = jax.lax.stop_gradient(ax_rel)

@@ -114,3 +114,27 @@ def test_axis_from_relpose_loss_geometry():
         lambda a: axis_from_relpose_loss(Rp, Rc, a)
     )(jnp.array([[1.0, 0.0, 0.0]]))
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_axis_from_relpose_differential_cancels_shared_motion():
+    """A shared 'global drift' rotation applied to BOTH slots must cancel in
+    the base_slot-differential form: only the moving slot's joint rotation
+    about +y remains, so the loss is ~0 for axis=+y even though the raw
+    per-slot rel axes are blends."""
+    from equi_articulated_pose_tpu.geom.so3 import axis_angle_to_matrix
+    from equi_articulated_pose_tpu.nn.losses import axis_from_relpose_loss
+
+    drift_ax = jnp.array([1.0, 0.0, 0.0])
+    joint_ax = jnp.array([0.0, 1.0, 0.0])
+    G = axis_angle_to_matrix(drift_ax[None], jnp.array([0.4]))[0]   # shared
+    J = axis_angle_to_matrix(joint_ax[None], jnp.array([0.9]))[0]   # joint
+
+    Rc = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3))
+    # posed: base slot = G, moving slot = J @ G (joint on top of drift)
+    Rp = jnp.stack([G, J @ G])[None]
+    base = jnp.array([0])
+
+    diff = axis_from_relpose_loss(Rp, Rc, joint_ax[None], base_slot=base)
+    raw = axis_from_relpose_loss(Rp, Rc, joint_ax[None])
+    assert float(diff) < 1e-5          # differential isolates the joint
+    assert float(raw) > 0.05           # raw form is drift-contaminated
