@@ -21,6 +21,9 @@ report (ref trainer:2180-2259):
   T centred on the bbox of its predicted part's input points (trainer:1866-1877)
 * segmentation IoU (sampled + full-4096 NN-transferred)
 * joint-axis angular error vs every moving part's GT axis (trainer:1544-1549)
+* joint-axis error recovered from the cross-state relative pose, pairwise
+  differential form (``relpose_axis_errors``) — the joint-fit-from-poses
+  analogue of the reference's LSQ axis (trainer:2029-2106)
 * pivot-offset error |‖pv‖ − gt_offset| (trainer:1536-1542)
 * part-pair relative rotation errors, chamfer-L1
 """
@@ -42,6 +45,63 @@ from .metrics import (
     rot_diff_degree,
 )
 from .ransac import ransac_fit_r, ransac_fit_t
+
+
+def _rot_axis_sin(R: np.ndarray):
+    """R [..., 3, 3] → (unit rotation axis [..., 3], sin(angle) [...]).
+
+    Axis from the antisymmetric part a = (R₃₂−R₂₃, R₁₃−R₃₁, R₂₁−R₁₂),
+    ‖a‖ = 2 sin(θ); direction degrades gracefully (→ noise) as θ→0, which
+    callers handle by sin-weighting.
+    """
+    a = np.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    n = np.linalg.norm(a, axis=-1)
+    return a / np.clip(n[..., None], 1e-8, None), 0.5 * n
+
+
+def relpose_axis_errors(R_rel: np.ndarray, gt_R: np.ndarray):
+    """Joint-axis error from the predicted cross-state relative pose.
+
+    For every ordered part pair (p, q), p>q, the differential rotation
+    Rd = R_rel[p]·R_rel[q]ᵀ cancels whatever motion the two parts share
+    (the residual global-alignment gauge both inherit — mirrors
+    ``nn/losses.axis_from_relpose_loss``) and leaves the joint rotation.
+    For the synthetic GT this is exact: with state rots M_mov = R1·Rot(ax,θ),
+    M_base = R1 and ref rots Rot(ax,θc) / I (data/articulated.py:180-232),
+    axis(gt_R[p]·gt_R[q]ᵀ) equals part_axis = R1·ax identically, so every
+    pair with relative motion is a valid axis target.  Reference analogue:
+    the joint fit from estimated part poses (eval/joint_fit.py; ref
+    trainer_unsup_arti_align.py:2029-2106).
+
+    Args:  R_rel, gt_R — [B, P, 3, 3] predicted / GT state-vs-canonical
+    relative rotations, part-matched.
+    Returns: (axis_err_deg [B·npairs], gt_rel_angle_deg [B·npairs]); the
+    axis is sign-folded (|dot|).  Entries with gt_rel_angle≈0 carry no
+    axis information — callers sin-weight or threshold on the angle.
+    """
+    errs, angs = [], []
+    for pa in range(R_rel.shape[1]):
+        for qa in range(pa):
+            Rd_p = np.einsum("bij,bkj->bik", R_rel[:, pa], R_rel[:, qa])
+            Rd_g = np.einsum("bij,bkj->bik", gt_R[:, pa], gt_R[:, qa])
+            ax_pd, _ = _rot_axis_sin(Rd_p)
+            ax_gd, _ = _rot_axis_sin(Rd_g)
+            tr_g = np.clip(
+                (np.trace(Rd_g, axis1=-2, axis2=-1) - 1) / 2, -1, 1
+            )
+            angs.append(np.degrees(np.arccos(tr_g)))
+            dots_d = np.abs(np.sum(ax_pd * ax_gd, axis=-1))
+            errs.append(np.degrees(np.arccos(np.clip(dots_d, 0.0, 1.0))))
+    if not errs:
+        return np.zeros((0,)), np.zeros((0,))
+    return np.concatenate(errs), np.concatenate(angs)
 
 BIG = 1e6
 
@@ -217,7 +277,7 @@ class Evaluator:
             k: []
             for k in (
                 "rot", "canon_rot", "trans", "trans2", "iou", "iou_full",
-                "cl1", "relrot", "pv", "axis_deg",
+                "cl1", "relrot", "pv", "axis_deg", "ax_rp_err", "ax_rp_ang",
             )
         }
         for i, batch in enumerate(test_loader):
@@ -300,6 +360,20 @@ class Evaluator:
                 np.degrees(np.arccos(min(float(dots.mean()), 1.0)))
             )
 
+            # joint axis recovered from the predicted cross-state relative
+            # pose, with the partner part's shared motion conjugated out
+            # (differential form, mirrors nn/losses.axis_from_relpose_loss).
+            # For the synthetic GT this is exact: with state rots
+            # M_mov = R1·Rot(ax,θ), M_base = R1 and ref rots Rot(ax,θc) / I
+            # (data/articulated.py:180-232), axis(gt_R[p] gt_R[q]ᵀ) equals
+            # part_axis = R1·ax identically — so every ordered part pair
+            # with relative motion is a valid axis target.  Reference
+            # analogue: the joint fit from estimated part poses
+            # (eval/joint_fit.py; ref trainer_unsup_arti_align.py:2029-2106).
+            rp_err, rp_ang = relpose_axis_errors(R_canon_rel, gt_R)
+            acc["ax_rp_err"].append(rp_err)
+            acc["ax_rp_ang"].append(rp_ang)
+
             # pivot offset: |‖pv‖ − gt_offset| (trainer:1536-1542; the
             # reference compares scalar norms, which are glb-frame invariant)
             gt_pv_off = np.asarray(batch["part_pv_offset"])[:, 0]
@@ -334,6 +408,19 @@ class Evaluator:
             )
         for k in range(relrot.shape[1]):
             metrics[f"rel_rot_err_deg_pair{k}_mean"] = float(np.mean(relrot[:, k]))
+        if acc["ax_rp_err"]:
+            e = np.concatenate(acc["ax_rp_err"])
+            a = np.concatenate(acc["ax_rp_ang"])
+            w = np.sin(np.radians(a))      # axis ill-defined as rel angle→0
+            if w.sum() > 1e-6:
+                metrics["axis_err_relpose_deg_mean"] = float(
+                    (e * w).sum() / w.sum()
+                )
+            sel = a > 15.0
+            if sel.any():
+                metrics["axis_err_relpose_deg_median"] = float(
+                    np.median(e[sel])
+                )
         return metrics
 
 
