@@ -29,7 +29,9 @@ def load_checkpoint(path: str, target: Any):
         return serialization.from_bytes(target, f.read())
 
 
-def save_train_state(path: str, params: Any, opt_state: Any, step: int):
+def save_train_state(
+    path: str, params: Any, opt_state: Any, step: int, axis_prior: Any = None
+):
     """Full-train-state checkpoint: params + optimizer state + step.
 
     The reference saves weights only (trainer:457-474), which silently resets
@@ -37,15 +39,20 @@ def save_train_state(path: str, params: Any, opt_state: Any, step: int):
     full-lr jolt when a run is resumed mid-decay (observed as joint-axis
     drift in the round-2 oven run).  Periodic checkpoints therefore carry the
     whole state; ``load_checkpoint``-style weight-only files remain readable
-    (eval and the two-stage glb protocol keep using plain params files)."""
-    save_checkpoint(
-        path,
-        {
-            "params": jax.device_get(params),
-            "opt_state": serialization.to_state_dict(jax.device_get(opt_state)),
-            "step": int(step),
-        },
-    )
+    (eval and the two-stage glb protocol keep using plain params files).
+
+    ``axis_prior`` (slot_single_mode=0 only): the per-slot sign-aligned EMA
+    axis used for orbit selection (ref update_slot_pair_axis_prior) is train
+    state too — resuming without it resets every slot's prior to the +y
+    default and jolts the orbit selection."""
+    tree = {
+        "params": jax.device_get(params),
+        "opt_state": serialization.to_state_dict(jax.device_get(opt_state)),
+        "step": int(step),
+    }
+    if axis_prior is not None:
+        tree["axis_prior"] = np.asarray(jax.device_get(axis_prior))
+    save_checkpoint(path, tree)
 
 
 def is_train_state(path: str) -> bool:
@@ -60,16 +67,20 @@ def is_train_state(path: str) -> bool:
 
 
 def load_train_state(path: str, params_target: Any, opt_target: Any):
-    """-> (params, opt_state, step).  Accepts weight-only files too
-    (opt_state target returned untouched, step 0)."""
+    """-> (params, opt_state, step, axis_prior | None).  Accepts weight-only
+    files too (opt_state target returned untouched, step 0) and pre-round-3
+    train-state files without the axis_prior field (None)."""
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
         params = serialization.from_state_dict(params_target, raw["params"])
         opt_state = serialization.from_state_dict(opt_target, raw["opt_state"])
-        return params, opt_state, int(raw.get("step", 0))
+        prior = raw.get("axis_prior")
+        if prior is not None:
+            prior = np.asarray(prior)
+        return params, opt_state, int(raw.get("step", 0)), prior
     params = serialization.from_state_dict(params_target, raw)
-    return params, opt_target, 0
+    return params, opt_target, 0, None
 
 
 def load_params_any(path: str, target: Any):

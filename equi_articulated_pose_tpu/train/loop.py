@@ -78,6 +78,7 @@ class Trainer:
         self._step_fn = None
         self.params = None
         self.opt_state = None
+        self.axis_prior = None     # slot_single_mode=0 EMA; part of train state
         self.rng = jax.random.PRNGKey(cfg.train.seed)
 
     # ------------------------------------------------------------------
@@ -110,9 +111,11 @@ class Trainer:
             # full train state: params + Adam moments + schedule position
             # (the count inside opt_state), so resumed runs continue the lr
             # decay instead of jolting back to full lr
-            self.params, self.opt_state, st = load_train_state(
+            self.params, self.opt_state, st, prior = load_train_state(
                 path, jax.device_get(self.params), jax.device_get(self.opt_state)
             )
+            if prior is not None:
+                self.axis_prior = prior
             self.log.info(f"resumed full train state (step {st}) from {path}")
             return
         src = load_checkpoint(path, jax.device_get(self.params))
@@ -279,10 +282,15 @@ class Trainer:
         opt_state = replicate(self.opt_state, self.mesh)
         axis_prior = None
         if self._uses_axis_prior:
-            axis_prior = replicate(
-                jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (self.cfg.model.nmasks, 1)),
-                self.mesh,
+            # resumed EMA if the checkpoint carried one, else the +y default
+            init_prior = (
+                jnp.asarray(self.axis_prior)
+                if self.axis_prior is not None
+                else jnp.tile(
+                    jnp.array([[0.0, 1.0, 0.0]]), (self.cfg.model.nmasks, 1)
+                )
             )
+            axis_prior = replicate(init_prior, self.mesh)
 
         # Only ship what the step consumes — the full sample dict includes
         # dense eval-only arrays (oorr clouds, per-point poses) whose per-step
@@ -395,7 +403,7 @@ class Trainer:
                 last_log = step // cfg.train.log_freq
                 last_log_step = step
             if step // cfg.train.save_freq > last_save:
-                self.save(params, step, opt_state)
+                self.save(params, step, opt_state, axis_prior)
                 last_save = step // cfg.train.save_freq
             _t0 = time.perf_counter()
             batch = next(it)
@@ -437,7 +445,8 @@ class Trainer:
         )
         m = ev.evaluate(test_loader, deltas, max_batches=max_batches)
         keep = (
-            "seg_iou", "axis_err_deg_mean", "pv_offset_err_mean", "chamfer_l1",
+            "seg_iou", "axis_err_deg_mean", "axis_err_relpose_deg_mean",
+            "pv_offset_err_mean", "chamfer_l1",
         )
         out = {k: m[k] for k in keep if k in m}
         for k, v in m.items():
@@ -447,14 +456,14 @@ class Trainer:
                 out[k] = v
         return out
 
-    def save(self, params, step: int, opt_state=None):
+    def save(self, params, step: int, opt_state=None, axis_prior=None):
         path = os.path.join(
             self.log_dir, "ckpt", f"{self.cfg.experiment_id}_stage{self.stage}_net_Iter{step}.msgpack"
         )
         if opt_state is not None:
             from .checkpoint import save_train_state
 
-            save_train_state(path, params, opt_state, step)
+            save_train_state(path, params, opt_state, step, axis_prior)
         else:
             save_checkpoint(path, params)
         self.log.info(f"saved checkpoint {path}")

@@ -79,18 +79,27 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
 
     fresh_opt = tx.init(jax.tree_util.tree_map(jnp.zeros_like, params))
     zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    rp, ro, st = load_train_state(p, zeros, fresh_opt)
+    rp, ro, st, prior = load_train_state(p, zeros, fresh_opt)
     assert st == 5
+    assert prior is None          # pre-axis_prior files stay loadable
     np.testing.assert_allclose(np.asarray(rp["w"]), np.asarray(params["w"]))
     # Adam count (schedule position) restored
     counts = [np.asarray(l) for l in jax.tree_util.tree_leaves(ro)
               if np.asarray(l).dtype == np.int32 and np.asarray(l).shape == ()]
     assert any(c == 5 for c in counts)
 
+    # axis_prior (slot_single_mode=0 orbit-selection EMA) rides along
+    p3 = str(tmp_path / "state_prior.msgpack")
+    ap = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    save_train_state(p3, params, opt, 7, axis_prior=ap)
+    _, _, st3, prior3 = load_train_state(p3, zeros, fresh_opt)
+    assert st3 == 7
+    np.testing.assert_allclose(np.asarray(prior3), np.asarray(ap))
+
     # weight-only file: not a train state, loads with step 0
     p2 = str(tmp_path / "weights.msgpack")
     save_checkpoint(p2, params)
     assert not is_train_state(p2)
-    rp2, ro2, st2 = load_train_state(p2, zeros, fresh_opt)
+    rp2, ro2, st2, _ = load_train_state(p2, zeros, fresh_opt)
     assert st2 == 0
     np.testing.assert_allclose(np.asarray(rp2["b"]), np.asarray(params["b"]))
