@@ -10,6 +10,17 @@
 set -x
 cd /root/repo
 LADDER_PID=${1:?usage: post_ladder_r3.sh <ladder-pid>}
+# hard stop: the driver benches on this chip at round end (~10:20); every
+# step is skipped once past the cutoff and bounded so it cannot straddle it
+END_EPOCH=${END_EPOCH:-$(date -u -d '2026-08-18 10:02' +%s)}
+left () { echo $(( END_EPOCH - $(date +%s) )); }
+brun () {  # brun <soft-timeout> cmd...  — min(soft, time-left)
+  local t=$1; shift
+  local rem; rem=$(left)
+  [ "$rem" -le 120 ] && return 1
+  [ "$t" -gt "$rem" ] && t=$rem
+  timeout "$t" "$@"
+}
 
 while kill -0 "$LADDER_PID" 2>/dev/null; do sleep 30; done
 # let any straggler trainer the ladder spawned wind down (detection only —
@@ -18,12 +29,12 @@ sleep 60
 while ps -eo cmd | grep -q "[r]un.py"; do sleep 30; done
 
 # 1. fused-backward A/B (one arm; the baseline arm is cached)
-timeout 2700 python scripts/bench_ab.py --fused-bwd --iters 10 \
+brun 2400 python scripts/bench_ab.py --fused-bwd --iters 10 \
     > logs_r3/ab_fusedbwd3.json 2> logs_r3/ab_fusedbwd3.err
 
 # 2. eyeglasses relpose eval (same flags as logs_r3/eyeglasses_eval.log so
 # the compile is cached and rows are comparable)
-timeout 1800 python run.py eval --category eyeglasses --dataset synthetic \
+brun 1500 python run.py eval --category eyeglasses --dataset synthetic \
     --ckpt ckpt_r3/eyeglasses_stage1.msgpack \
     --ckpt-glb ckpt_r2/eyeglasses_stage0.msgpack \
     --compute-dtype bfloat16 --chunk-a 12 --orbit-chunk-k 30 \
@@ -34,7 +45,7 @@ timeout 1800 python run.py eval --category eyeglasses --dataset synthetic \
 LCK=ckpt_r3/laptop_stage1.msgpack
 [ -f "$LCK" ] || LCK=ckpt_r3/laptop_stage1_resume.msgpack
 if [ -f "$LCK" ] && ! grep -q seg_iou logs_r3/laptop_eval.log 2>/dev/null; then
-  timeout 1800 python run.py eval --category laptop --dataset synthetic \
+  brun 1500 python run.py eval --category laptop --dataset synthetic \
       --ckpt "$LCK" \
       --ckpt-glb ckpt_r3/laptop_stage0.msgpack \
       --compute-dtype bfloat16 --chunk-a 12 --batch-size 4 --max-batches 15 \
