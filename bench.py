@@ -30,6 +30,11 @@ import time
 
 A100_EST_PC_PER_SEC = 2.0
 FAST_MODE_SEC_PER_STEP = 1.0  # > this => degraded session
+# Best-ever measurements persist across sessions (VERDICT r3 item 4): the
+# relayed backend is bimodal, so the driver-visible line carries BOTH the
+# live measurement and the best fetch-forced healthy record with provenance.
+RECORDS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_RECORDS.json")
 # Self-imposed wall-clock budget.  The round-2 driver killed bench at some
 # external timeout with nothing printed; we now bound ourselves well below
 # any plausible budget and print incrementally regardless.
@@ -46,7 +51,61 @@ def _note(msg: str) -> None:
     print(f"# [{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _load_records() -> dict:
+    try:
+        with open(RECORDS_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _update_records(rec: dict) -> dict:
+    """Fold a fresh measurement into the per-mode best records (kept in
+    BENCH_RECORDS.json, committed) and return the records dict."""
+    records = _load_records()
+    mode = rec.get("backend_mode")
+    if mode in ("healthy", "degraded") and rec.get("value", 0) > 0:
+        prev = records.get("best_" + mode, {})
+        if rec["value"] > prev.get("value", 0.0):
+            commit = ""
+            try:
+                import subprocess
+
+                commit = subprocess.run(
+                    ["git", "-C", os.path.dirname(RECORDS_PATH), "rev-parse",
+                     "--short", "HEAD"],
+                    capture_output=True, text=True, timeout=10,
+                ).stdout.strip()
+            except Exception:
+                pass
+            records["best_" + mode] = {
+                "value": rec["value"],
+                "sec_per_step": rec.get("sec_per_step"),
+                "n_iters": rec.get("n_iters"),
+                "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+                "commit": commit,
+                "metric": rec.get("metric"),
+            }
+            try:
+                with open(RECORDS_PATH, "w") as f:
+                    json.dump(records, f, indent=1)
+            except Exception:
+                pass
+    return records
+
+
 def _emit(record: dict) -> None:
+    records = _update_records(record)
+    bh = records.get("best_healthy")
+    if bh:
+        record = dict(record)
+        record["best_healthy_pc_per_sec"] = bh["value"]
+        record["best_healthy_sec_per_step"] = bh.get("sec_per_step")
+        record["best_healthy_date"] = bh.get("date")
+        record["best_healthy_commit"] = bh.get("commit")
+        record["best_healthy_vs_baseline"] = round(
+            bh["value"] / A100_EST_PC_PER_SEC, 3
+        )
     print(json.dumps(record), flush=True)
 
 

@@ -114,7 +114,12 @@ class ModelConfig:
     # drift, forcing the articulation to be explained by theta*axis instead.
     canon_consist_factor: float = 0.0
     # axis supervision from the relative predicted pose across articulation
-    # states (requires canon_consist_factor > 0 for the paired forward).
+    # states.  Works with OR without canon_consist_factor: with it, the
+    # articulation is forced through theta*axis (measured to lock a wrong
+    # axis at short horizons — RESULTS r3 item 15); without it ("distill-only"
+    # mode) the canonical twin forward runs forward-only and ONLY the axis
+    # head follows the cross-state relative-pose target, leaving the pose
+    # path untouched.
     # Once the decoded canonical shapes are tied across states, the relative
     # pose rel_R = R_posed @ R_canon^T of a slot must equal the TRUE joint
     # motion for the chamfer terms to hold — so rel_R's rotation axis is an

@@ -149,13 +149,24 @@ class Trainer:
             "slot_loss": out["slot_loss"],
             "recon_l1": out["recon_l1"],
         }
-        if self.cfg.model.canon_consist_factor > 0.0:
+        if (self.cfg.model.canon_consist_factor > 0.0
+                or self.cfg.model.axis_from_relpose > 0.0):
             # cross-state canonical consistency (config.py docstring): run
             # the same forward on the paired canonical-state cloud — same
             # rng, so the slot queries (and hence slot indices) correspond —
             # and tie the two decoded canonical shapes together.  The canon
             # pass's norm/state mutations are discarded: running stats track
             # the posed distribution only.
+            #
+            # axis_from_relpose WITHOUT canon_consist is the distill-only
+            # mode (round-4): the canonical twin forward still runs (forward
+            # only, stop-grad) to provide the cross-state relative-pose axis
+            # target, but no consistency penalty touches the pose path — the
+            # measured failure of theta-forcing (ovengt2: head and relpose
+            # both lock to ~60 deg) was the canon-consistency pull, while the
+            # unforced run's poses carry a 23.9-deg-recoverable axis
+            # (RESULTS r3 item 15).  Here only the axis head follows that
+            # target.
             from ..nn.losses import canon_consistency_loss
 
             cxyz = batch["canon_pc"]
@@ -188,9 +199,10 @@ class Trainer:
                 for k in ("slot_canon", "pv_points", "central_points",
                           "pred_R")
             })
-            consist = canon_consistency_loss(out, ctgt)
-            loss = loss + self.cfg.model.canon_consist_factor * consist
-            metrics["consist"] = jax.lax.stop_gradient(consist)
+            if self.cfg.model.canon_consist_factor > 0.0:
+                consist = canon_consistency_loss(out, ctgt)
+                loss = loss + self.cfg.model.canon_consist_factor * consist
+                metrics["consist"] = jax.lax.stop_gradient(consist)
             if self.cfg.model.axis_from_relpose > 0.0:
                 from ..nn.losses import axis_from_relpose_loss
 
@@ -296,7 +308,8 @@ class Trainer:
         # dense eval-only arrays (oorr clouds, per-point poses) whose per-step
         # host->device transfer dominates wall clock on relayed TPU setups.
         step_keys = ("pc",) if self.stage == 0 else ("pc", "label", "pose_segs")
-        if self.stage == 1 and self.cfg.model.canon_consist_factor > 0.0:
+        if self.stage == 1 and (self.cfg.model.canon_consist_factor > 0.0
+                                or self.cfg.model.axis_from_relpose > 0.0):
             step_keys = step_keys + ("canon_pc", "canon_label")
 
         timer = Timer()
@@ -399,6 +412,18 @@ class Trainer:
                     f"step {step}: {self.summary.format()}"
                     f" [data {t_data/nst:.3f}s/st, block {t_block/nst:.3f}s/st]"
                 )
+                # Opportunistic healthy-mode flag: the relayed backend is
+                # bimodal per session; a fetched stage-1 step under 0.5 s
+                # means THIS process landed in the healthy mode, and the
+                # ladder should grab the pending healthy-mode bench/A-B
+                # (VERDICT r3 item 4) between stages.
+                if (self.stage == 1 and step >= 20
+                        and self.summary._vals.get("time", 9.9) < 0.5):
+                    try:
+                        with open("/tmp/healthy_mode_observed", "w") as fh:
+                            fh.write(f"{time.time()} {self.summary._vals['time']:.4f}\n")
+                    except OSError:
+                        pass
                 t_data = t_block = 0.0
                 last_log = step // cfg.train.log_freq
                 last_log_step = step

@@ -55,7 +55,9 @@ def build_argparser():
                         help="weight of the anti-collapse max-slot-occupancy loss")
         sp.add_argument("--axis-from-relpose", type=float, default=None,
                         help="weight of the cross-state relative-pose axis"
-                             " supervision (needs --canon-consist)")
+                             " supervision; without --canon-consist this is"
+                             " the distill-only mode (axis head follows the"
+                             " relpose target, pose path untouched)")
         sp.add_argument("--canon-consist", type=float, default=None,
                         help="weight of the cross-state canonical-consistency"
                              " loss (pairs each posed cloud with its"
