@@ -233,12 +233,18 @@ PRESETS: dict[str, Config] = {
                        representation="angle", sel_mode=29,
                        mtx_based_axis_regression=True, orbit_chunk_k=60,
                        remat_slot_blocks=True),
-    # use_equi=39: drawer, prismatic, 4 slots
+    # use_equi=39: drawer, prismatic, 4 slots.  The S=4 per-slot towers and
+    # the [B,S,K,M,N] orbit chamfer are drawer's HBM high-water marks (the
+    # round-3 b4 soft-seg extension OOMed 16 GB); give it the same streaming
+    # treatment the eyeglasses preset carries — remat'd slot towers +
+    # anchor-chunked orbit chamfer (value/grad-exact, tests/test_r3_optim.py).
     "drawer": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
-                   dataset_type="sapien"),
+                   dataset_type="sapien", orbit_chunk_k=12,
+                   remat_slot_blocks=True),
     # drawer with the 2D product-anchor backbone (ref --use-2d=1)
     "drawer_2d": _cfg("drawer", nmasks=4, input_num=512, joint_type="prismatic",
-                      dataset_type="sapien", use_2d=True),
+                      dataset_type="sapien", use_2d=True, orbit_chunk_k=60,
+                      remat_slot_blocks=True),
     # partial-view / real-scan variants (scripts/train/partial_laptop_syn.sh,
     # laptop_real.sh)
     "laptop_partial": _cfg("laptop", nmasks=2, input_num=380, num_iters=1,

@@ -749,6 +749,7 @@ class SlotPoseModel(nn.Module):
             "recon_l1": 0.5
             * (jnp.sqrt(g_r2o).mean() + jnp.sqrt(g_o2r).mean()),
             "attn": attn_ori,
+            "ppinv": ppinv,
             "hard_labels": hard_labels,
             "pred_R": pred_R,
             "pred_T": pred_T,
