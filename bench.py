@@ -64,7 +64,8 @@ def _update_records(rec: dict) -> dict:
     BENCH_RECORDS.json, committed) and return the records dict."""
     records = _load_records()
     mode = rec.get("backend_mode")
-    if mode in ("healthy", "degraded") and rec.get("value", 0) > 0:
+    if (mode in ("healthy", "degraded") and rec.get("value", 0) > 0
+            and rec.get("backend") == "tpu"):
         prev = records.get("best_" + mode, {})
         if rec["value"] > prev.get("value", 0.0):
             commit = ""
@@ -199,6 +200,7 @@ def main():
             else "healthy",
             "n_iters": n_iters,
             "phase": phase,
+            "backend": jax.default_backend(),
         }
 
     # Phase 1: preliminary 2-iter timing -> first driver-visible line.
@@ -214,6 +216,51 @@ def main():
         if rec["value"] >= best["value"] * 0.5:  # refined is authoritative
             best = rec
         _emit(best)
+
+    # Phase 2b: batch-1 arm.  The degraded relay mode scales step time
+    # ~linearly (measured slightly SUPERlinearly) with batch — b1/b4 probed
+    # 0.58 vs 4.17 s/step in the same window (round 4) — so pc/s peaks at
+    # SMALL batch there, while healthy-mode MXU utilisation peaks at b4+.
+    # Measure both and let the best pc/s win; the reference itself trains at
+    # bsz=1/GPU, so the per-cloud comparison stays apples-to-apples.
+    if on_tpu and _left() > 240:
+        try:
+            xyz1 = xyz[:1]
+            params1 = jax.jit(model.init)(
+                jax.random.PRNGKey(0), xyz1, jax.random.PRNGKey(1)
+            )
+            opt1 = tx.init(params1["params"])
+            _note("compiling b1 train_step ...")
+            params1, opt1, loss1 = train_step(params1, opt1, xyz1, key)
+            float(np.asarray(jax.device_get(loss1)).mean())
+            t0 = time.perf_counter()
+            n1 = 0
+            while n1 < 12 and _left() > 60:
+                params1, opt1, loss1 = train_step(
+                    params1, opt1, xyz1, jax.random.fold_in(key, 100 + n1)
+                )
+                float(np.asarray(jax.device_get(loss1)).mean())
+                n1 += 1
+            if n1 >= 2:
+                sps1 = (time.perf_counter() - t0) / n1
+                _note(f"b1: {n1} iters ({sps1:.3f} s/step)")
+                rec1 = {
+                    "metric": "train_step_throughput_oven380_b1",
+                    "value": round(1.0 / sps1, 3),
+                    "unit": "point_clouds/sec/chip",
+                    "vs_baseline": round(1.0 / sps1 / A100_EST_PC_PER_SEC, 3),
+                    "sec_per_step": round(sps1, 4),
+                    "backend_mode": "degraded"
+                    if sps1 > FAST_MODE_SEC_PER_STEP / 4 else "healthy",
+                    "n_iters": n1,
+                    "phase": "b1",
+                    "backend": jax.default_backend(),
+                }
+                if rec1["value"] > best["value"]:
+                    best = rec1
+                _emit(best)
+        except Exception as e:  # noqa: BLE001 — b1 arm is best-effort
+            _note(f"b1 arm failed: {type(e).__name__}: {e}")
 
     # Secondary: eval (forward-only) throughput, if budget remains.
     if _left() > 4 * sps + 20:

@@ -15,6 +15,11 @@
 #   5. drawerx extension at argmax weighting (fits b4) + washing-machine
 #      refresh (VERDICT #3).
 #   6. 15-batch evals after each stage.
+# Round-4 batch discovery: the degraded relay mode's step time scales
+# ~linearly (slightly super-linearly) with batch (b1 0.58 / b2 probe /
+# b4 4.17 s/step in one window), so stage-1 training runs at BATCH 2 —
+# ~2.3x the optimizer steps per hour of b4 at the same wall clock; the
+# reference itself trains at bsz=1/GPU.
 # ADVICE r3 fixes baked in: stale-file-proof success detection (rm -f the
 # produced name before each run), leftover-playground harvest BEFORE rm -rf,
 # guarded cp in the todo<=0 path, loud failure when the deadline has already
@@ -166,6 +171,10 @@ train_stage () {  # <name> <cli-category> <stage> <target-steps> <bs> <budget-s>
     local rem_budget=$(( t_end - $(date +%s) ))
     [ "$rem_budget" -le 120 ] && break
     wait_relay
+    # harvest FIRST: leftover playground ckpts must be banked before the
+    # step accounting / resume decision below reads them (round-4 bug: a
+    # post-read harvest made the next attempt restart from scratch)
+    harvest "$name" "$stage"
     local done=0
     [ -f "$cum_f" ] && done=$(cat "$cum_f")
     local todo=$((target - done))
@@ -177,7 +186,6 @@ train_stage () {  # <name> <cli-category> <stage> <target-steps> <bs> <budget-s>
     fi
     local res=()
     [ -f "$cum_ck" ] && res=(--resume "$cum_ck")
-    harvest "$name" "$stage"
     rm -f "$produced"   # ADVICE #1: success check must only see THIS run's file
     brun "$rem_budget" python run.py train --category "$cat" --dataset synthetic \
         --stage "$stage" --steps "$todo" --batch-size "$bs" "${res[@]}" "$@" \
@@ -207,14 +215,14 @@ run_eval () {  # <log-name> <cli-category> <ckpt> <glb> extra...
 }
 
 # ---- 1. ovenhp long-horizon seg run (6000 steps) ----------------------------
-train_stage ovenhp oven 1 6000 4 13500 \
+train_stage ovenhp oven 1 6000 2 10800 \
     --eval-freq 500 --log-freq 100 \
     --ov-max-factor 1.0 --purity-factor 1.0 --axis-reg-stra 1 \
     --resume-glb ckpt_r2/oven_stage0.msgpack
 run_eval ovenhp_eval oven ckpt_r4/ovenhp_stage1.msgpack ckpt_r2/oven_stage0.msgpack
 
 # ---- 2. ovencc: unforced canon-consist validation (2000 steps) --------------
-train_stage ovencc oven 1 2000 4 7200 \
+train_stage ovencc oven 1 2000 2 5400 \
     --eval-freq 500 --log-freq 100 \
     --ov-max-factor 1.0 --purity-factor 1.0 --axis-reg-stra 1 \
     --canon-consist 1.0 \
@@ -223,14 +231,14 @@ run_eval ovencc_eval oven ckpt_r4/ovencc_stage1.msgpack ckpt_r2/oven_stage0.msgp
 
 # ---- 3. safe two-stage (never trained) --------------------------------------
 train_stage safe safe 0 1200 4 2400
-train_stage safe safe 1 1200 4 4500 \
+train_stage safe safe 1 1200 2 3600 \
     --eval-freq 400 --log-freq 100 \
     --ov-max-factor 1.0 --purity-factor 1.0 --axis-reg-stra 1 \
     --resume-glb ckpt_r4/safe_stage0.msgpack
 run_eval safe_eval safe ckpt_r4/safe_stage1.msgpack ckpt_r4/safe_stage0.msgpack
 
 # ---- 4. ovenad: distill-only relpose-axis arm (no forcing) ------------------
-train_stage ovenad oven 1 1200 4 4500 \
+train_stage ovenad oven 1 1200 2 3600 \
     --eval-freq 400 --log-freq 100 \
     --ov-max-factor 1.0 --purity-factor 1.0 --axis-reg-stra 1 \
     --axis-from-relpose 1.0 \
@@ -242,7 +250,7 @@ if [ ! -f ckpt_r4/drawerx_stage1_resume.msgpack ] && [ ! -f ckpt_r4/drawerx_stag
   cp ckpt_r2/drawer_stage1.msgpack ckpt_r4/drawerx_stage1_resume.msgpack
   echo 400 > ckpt_r4/drawerx_stage1.steps
 fi
-train_stage drawerx drawer 1 1200 4 3300 \
+train_stage drawerx drawer 1 1200 2 3300 \
     --eval-freq 400 --log-freq 100 --ov-max-factor 1.0 \
     --resume-glb ckpt_r2/drawer_stage0.msgpack
 run_eval drawerx_eval drawer ckpt_r4/drawerx_stage1.msgpack ckpt_r2/drawer_stage0.msgpack
@@ -251,7 +259,7 @@ if [ ! -f ckpt_r4/wm_stage1_resume.msgpack ] && [ ! -f ckpt_r4/wm_stage1.msgpack
   cp ckpt_r2/washing_machine_stage1.msgpack ckpt_r4/wm_stage1_resume.msgpack
   echo 800 > ckpt_r4/wm_stage1.steps
 fi
-train_stage wm washing_machine 1 2000 4 3300 \
+train_stage wm washing_machine 1 2000 2 2700 \
     --eval-freq 400 --log-freq 100 \
     --ov-max-factor 1.0 --purity-factor 1.0 --axis-reg-stra 1 \
     --resume-glb ckpt_r2/washing_machine_stage0.msgpack
@@ -262,7 +270,7 @@ while ! over; do
   done=0; [ -f ckpt_r4/ovenhp_stage1.steps ] && done=$(cat ckpt_r4/ovenhp_stage1.steps)
   [ "$done" -ge 12000 ] && break
   rm -f ckpt_r4/ovenhp_stage1.msgpack   # re-open the stage for extension
-  train_stage ovenhp oven 1 $((done + 2000)) 4 7200 \
+  train_stage ovenhp oven 1 $((done + 2000)) 2 7200 \
       --eval-freq 500 --log-freq 100 \
       --ov-max-factor 1.0 --purity-factor 1.0 --axis-reg-stra 1 \
       --resume-glb ckpt_r2/oven_stage0.msgpack || break
