@@ -81,6 +81,13 @@ class ModelConfig:
     # defined but unreferenced, exposed here as an ablation knob for the
     # segmentation-quality study (RESULTS.md)
     purity_factor: float = 0.0
+    # linear warm-up horizon for purity_factor (0 = no warm-up).  Round-4
+    # motivation: with purity active from step 0 the attention softmax
+    # saturates within ~400 steps (attn_ent 0.93 -> 0.002 measured on the
+    # oven b2 run) and the partition FREEZES before any part-alignment
+    # signal can act; ramping purity over this many steps keeps attention
+    # plastic while the pose/recon heads converge, then locks confidence.
+    purity_warmup_steps: int = 0
     # anti-collapse occupancy regulariser: penalise the max slot's soft point
     # share above 1/S.  The reference carries the same term commented out
     # ("encourage entropy", unsup_..._35:1560 / _38:2014); 0 disables.

@@ -297,6 +297,7 @@ class SlotPoseModel(nn.Module):
         axis_prior: Optional[jnp.ndarray] = None,  # [S, 3] (slot_single_mode=0)
         x_seg: Optional[Any] = None,               # hoisted seg-branch features
         gt_label: Optional[jnp.ndarray] = None,    # [B, N] teacher-forced seg
+        step: Optional[jnp.ndarray] = None,        # train step (loss warm-ups)
     ) -> dict[str, Any]:
         c = self.cfg
         B, N, _ = xyz.shape
@@ -712,7 +713,13 @@ class SlotPoseModel(nn.Module):
             # exposed as an ablation for the segmentation plateau study
             from ..nn.losses import purity_loss
 
-            loss = loss + c.purity_factor * purity_loss(attn_ori)
+            pf = c.purity_factor
+            if c.purity_warmup_steps > 0 and step is not None:
+                # keep attention plastic early (config.purity_warmup_steps)
+                pf = pf * jnp.clip(
+                    step / float(c.purity_warmup_steps), 0.0, 1.0
+                )
+            loss = loss + pf * purity_loss(attn_ori)
         if c.ov_max_factor > 0.0:
             # anti-collapse: max slot's soft occupancy share above 1/S
             # (ref's commented-out pts_ov_max_percent_loss, unsup_..._35:1560)
@@ -777,6 +784,7 @@ class SlotPoseModel(nn.Module):
         rngs: Optional[jax.Array] = None,
         axis_prior: Optional[jnp.ndarray] = None,
         gt_label: Optional[jnp.ndarray] = None,
+        step: Optional[jnp.ndarray] = None,
     ):
         """Multi-iteration forward (ref ``forward``, :3335-3379).
 
@@ -804,6 +812,7 @@ class SlotPoseModel(nn.Module):
                 # (ref _38:515-518,572-576) — so reuse iteration 0's features
                 x_seg=None if out is None else out["x_seg"],
                 gt_label=gt_label,
+                step=step,
             )
             loss = loss + out["loss"]
             x_list = out["x_next"]

@@ -116,6 +116,9 @@ class Trainer:
             )
             if prior is not None:
                 self.axis_prior = prior
+            # warm-up schedules (purity_warmup_steps) must not re-ramp on
+            # resume: offset the shipped step counter by the restored step
+            self._step_offset = int(st)
             self.log.info(f"resumed full train state (step {st}) from {path}")
             return
         src = load_checkpoint(path, jax.device_get(self.params))
@@ -137,11 +140,15 @@ class Trainer:
         if self.glb_params is not None and self.cfg.train.global_rot:
             g = self.glb_model.apply(jax.lax.stop_gradient(self.glb_params), xyz)
             xyz = jax.lax.stop_gradient(g["inv_pts"])
+        step_c = batch.get("step_count")
+        if step_c is not None:
+            step_c = step_c[0]
         (loss, out), mstate = self.model.apply(
             params, xyz, rng, axis_prior,
             gt_label=(
                 batch["label"] if self.cfg.model.force_gt_labels else None
             ),
+            step=step_c,
             mutable=["batch_stats", "state"],
         )
         metrics = {
@@ -311,6 +318,11 @@ class Trainer:
         if self.stage == 1 and (self.cfg.model.canon_consist_factor > 0.0
                                 or self.cfg.model.axis_from_relpose > 0.0):
             step_keys = step_keys + ("canon_pc", "canon_label")
+        # warm-up schedules need the global step inside the jitted loss;
+        # shipped as a per-sample field so batch sharding stays uniform
+        ship_step = (
+            self.stage == 1 and self.cfg.model.purity_warmup_steps > 0
+        )
 
         timer = Timer()
         K = self._k_per_call
@@ -332,6 +344,11 @@ class Trainer:
                     k: np.stack([np.asarray(b[k]) for b in group])
                     for k in step_keys
                 }
+                if ship_step:
+                    stacked["step_count"] = np.full(
+                        (K, cfg.train.batch_size),
+                        step + getattr(self, "_step_offset", 0), np.int32,
+                    )
                 sb = jax.device_put(
                     stacked,
                     NamedSharding(self.mesh, P(None, DATA_AXIS)),
@@ -346,9 +363,13 @@ class Trainer:
                     params, opt_state, sb, rngs
                 )
             else:
-                sb = shard_batch(
-                    {k: jnp.asarray(batch[k]) for k in step_keys}, self.mesh
-                )
+                d = {k: jnp.asarray(batch[k]) for k in step_keys}
+                if ship_step:
+                    d["step_count"] = jnp.full(
+                        (cfg.train.batch_size,),
+                        step + getattr(self, "_step_offset", 0), jnp.int32,
+                    )
+                sb = shard_batch(d, self.mesh)
                 rngs = per_device_rngs(sub, self.mesh)
                 if self._uses_axis_prior:
                     params, axis_prior, opt_state, metrics = self._step_fn(

@@ -51,6 +51,9 @@ def build_argparser():
                              " more HBM)")
         sp.add_argument("--purity-factor", type=float, default=None,
                         help="weight of the slot-confidence (purity) loss")
+        sp.add_argument("--purity-warmup", type=int, default=None,
+                        help="linear warm-up steps for --purity-factor (keeps"
+                             " attention plastic early; 0 = off)")
         sp.add_argument("--ov-max-factor", type=float, default=None,
                         help="weight of the anti-collapse max-slot-occupancy loss")
         sp.add_argument("--axis-from-relpose", type=float, default=None,
@@ -132,6 +135,8 @@ def _make_cfg(args):
         model_kw["remat_chunks"] = False
     if getattr(args, "purity_factor", None) is not None:
         model_kw["purity_factor"] = args.purity_factor
+    if getattr(args, "purity_warmup", None) is not None:
+        model_kw["purity_warmup_steps"] = args.purity_warmup
     if getattr(args, "ov_max_factor", None) is not None:
         model_kw["ov_max_factor"] = args.ov_max_factor
     if getattr(args, "canon_consist", None) is not None:
