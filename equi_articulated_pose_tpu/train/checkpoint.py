@@ -10,6 +10,7 @@ companion (the two-stage protocol keeps the stage-0 model separate).
 from __future__ import annotations
 
 import os
+import sys
 from typing import Any
 
 import jax
@@ -26,7 +27,8 @@ def save_checkpoint(path: str, tree: Any):
 
 def load_checkpoint(path: str, target: Any):
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    return lenient_from_state_dict(target, raw, path)
 
 
 def save_train_state(
@@ -66,20 +68,79 @@ def is_train_state(path: str) -> bool:
     return isinstance(raw, dict) and "opt_state" in raw and "params" in raw
 
 
+def lenient_from_state_dict(target: Any, state: Any, what: str, min_frac: float = 0.5):
+    """Strict restore with a key-intersection fallback.
+
+    Checkpoints written before a model grew a new variable collection (e.g.
+    the round-4 'state' purity-warmup counter) fail flax's strict
+    ``from_state_dict`` on the *missing* keys even though every weight they
+    do carry matches.  Mirror the reference's ``safe_load_ckpt_common``
+    tolerance: copy every leaf present in both trees with a matching shape,
+    keep the target's initial value for the rest, and report the accounting
+    loudly.  A load that covers less than ``min_frac`` of the target's
+    leaves raises instead — that regime means the file belongs to a
+    *different model* (the round-4 wm arm once tried to resume a drawer
+    checkpoint via a shared scratch dir; a silent 40%-load would have been
+    far worse than the crash)."""
+    try:
+        return serialization.from_state_dict(target, state)
+    except (ValueError, KeyError) as e:
+        tflat = flatten_dict(serialization.to_state_dict(target))
+        sflat = flatten_dict(state if isinstance(state, dict) else
+                             serialization.to_state_dict(state))
+        loaded, shape_skips = 0, 0
+        for k, v in sflat.items():
+            if k in tflat:
+                if np.shape(tflat[k]) == np.shape(v):
+                    tflat[k] = v
+                    loaded += 1
+                else:
+                    shape_skips += 1
+        frac = loaded / max(len(tflat), 1)
+        missing = [k for k in tflat if k not in sflat]
+        msg = (
+            f"[checkpoint] lenient load of {what}: {loaded}/{len(tflat)} target "
+            f"leaves restored ({frac:.0%}), {shape_skips} shape mismatches, "
+            f"{len(missing)} left at init "
+            f"(e.g. {['/'.join(map(str, m)) for m in missing[:3]]})"
+        )
+        if frac < min_frac:
+            raise ValueError(
+                msg + f" — below the {min_frac:.0%} floor; this checkpoint "
+                "likely belongs to a different model/config"
+            ) from e
+        print(msg, file=sys.stderr, flush=True)
+        return serialization.from_state_dict(target, unflatten_dict(tflat))
+
+
 def load_train_state(path: str, params_target: Any, opt_target: Any):
     """-> (params, opt_state, step, axis_prior | None).  Accepts weight-only
     files too (opt_state target returned untouched, step 0) and pre-round-3
-    train-state files without the axis_prior field (None)."""
+    train-state files without the axis_prior field (None).  Both restores are
+    lenient (see ``lenient_from_state_dict``); if the optimizer state cannot
+    be restored at all (shape drift in the moments), training falls back to
+    fresh moments at the checkpoint's step rather than crashing."""
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
-        params = serialization.from_state_dict(params_target, raw["params"])
-        opt_state = serialization.from_state_dict(opt_target, raw["opt_state"])
+        params = lenient_from_state_dict(params_target, raw["params"], path + " params")
+        try:
+            opt_state = lenient_from_state_dict(
+                opt_target, raw["opt_state"], path + " opt_state"
+            )
+        except ValueError as e:
+            print(
+                f"[checkpoint] optimizer state of {path} not restorable "
+                f"({e}); resuming with FRESH Adam moments",
+                file=sys.stderr,
+                flush=True,
+            )
+            opt_state = opt_target
         prior = raw.get("axis_prior")
         if prior is not None:
             prior = np.asarray(prior)
         return params, opt_state, int(raw.get("step", 0)), prior
-    params = serialization.from_state_dict(params_target, raw)
+    params = lenient_from_state_dict(params_target, raw, path)
     return params, opt_target, 0, None
 
 
@@ -90,7 +151,7 @@ def load_params_any(path: str, target: Any):
         raw = serialization.msgpack_restore(f.read())
     if isinstance(raw, dict) and "opt_state" in raw and "params" in raw:
         raw = raw["params"]
-    return serialization.from_state_dict(target, raw)
+    return lenient_from_state_dict(target, raw, path)
 
 
 def safe_load_common(target_params: Any, source_params: Any) -> Any:

@@ -195,6 +195,10 @@ train_stage () {  # <name> <cli-category> <stage> <target-steps> <bs> <budget-s>
       [ "$final" != "$produced" ] && mv "$produced" "$final"
       echo "$target" > "$cum_f"
       cp "$final" "$cum_ck"
+      # round-4 bug: leftover playground snapshots of a COMPLETED run leaked
+      # into the NEXT arm's harvest (drawer Iter800 became wm's resume file —
+      # a different 19.2M-param model).  Clear the shared scratch on success.
+      rm -rf "$PCKPT"
       return 0
     fi
     harvest "$name" "$stage"
