@@ -98,7 +98,9 @@ def _update_records(rec: dict) -> dict:
 def _emit(record: dict) -> None:
     records = _update_records(record)
     bh = records.get("best_healthy")
-    if bh:
+    # tolerate a hand-edited / partially written records file: a malformed
+    # best record must never stop the line from printing
+    if isinstance(bh, dict) and isinstance(bh.get("value"), (int, float)):
         record = dict(record)
         record["best_healthy_pc_per_sec"] = bh["value"]
         record["best_healthy_sec_per_step"] = bh.get("sec_per_step")
@@ -196,7 +198,11 @@ def main():
             "unit": "point_clouds/sec/chip",
             "vs_baseline": round(pc_per_sec / A100_EST_PC_PER_SEC, 3),
             "sec_per_step": round(sec_per_step, 4),
-            "backend_mode": "degraded" if sec_per_step > FAST_MODE_SEC_PER_STEP
+            # per-cloud criterion: the 1.0 s/step reference threshold is for
+            # batch 4, so scale by batch/4 — both arms then classify by the
+            # same 0.25 s/cloud line
+            "backend_mode": "degraded"
+            if sec_per_step > FAST_MODE_SEC_PER_STEP * batch / 4.0
             else "healthy",
             "n_iters": n_iters,
             "phase": phase,

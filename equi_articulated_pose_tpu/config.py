@@ -136,6 +136,43 @@ class ModelConfig:
     # part|/2): near-canonical pairs contribute nothing, so early-training
     # noise self-gates.  Target is stop-gradient'd; only the axis head moves.
     axis_from_relpose: float = 0.0
+    # motion-based attention pairing (nn/motion_pair.py): cluster the
+    # cross-state point motion into S rigid transforms (EM over weighted
+    # Kabsch fits) and cross-entropy the slot attention toward the matched
+    # clusters.  The FIRST loss that acts on the attention matrix itself —
+    # the round-3/4 collapse diagnosis showed pose-path losses never reach
+    # it.  0 disables.
+    motion_pair_factor: float = 0.0
+    # softmin temperature (squared-distance units on the bbox-normalised
+    # cloud) for the EM reassignment and the articulation gate
+    motion_pair_tau: float = 2.5e-3
+    motion_pair_em_iters: int = 4
+    # correspondence source: 'index' (complete synthetic clouds share FPS
+    # indices across states — data/articulated.py) | 'feat' (1-NN in the
+    # rotation-invariant ppinv feature space; partial/real scans)
+    motion_pair_corr: str = "index"
+    # slot-attention temperature annealing: softmax logits are divided by a
+    # temperature that decays linearly attn_temp_start -> 1 over
+    # attn_temp_steps train steps.  Keeps the attention plastic past the
+    # measured step-400 saturation (attn_ent ~1e-5) so early part-shaping
+    # signals (motion_pair) can still re-partition; 0 steps = off.
+    attn_temp_start: float = 1.0
+    attn_temp_steps: int = 0
+
+    @property
+    def needs_step(self) -> bool:
+        """True when the jitted loss consumes the global step counter."""
+        return self.purity_warmup_steps > 0 or self.attn_temp_steps > 0
+
+    @property
+    def needs_canon_pair(self) -> bool:
+        """True when the train step consumes the paired canonical-state
+        cloud."""
+        return (
+            self.canon_consist_factor > 0.0
+            or self.axis_from_relpose > 0.0
+            or self.motion_pair_factor > 0.0
+        )
 
 
 @dataclass(frozen=True)

@@ -310,7 +310,15 @@ class SlotPoseModel(nn.Module):
 
         # --- point grouping ------------------------------------------------
         ppinv, pp_conf = self.ppint_outblk(x_seg)
-        slots, attn_ori = self.slot_attention(ppinv, slot_rng)  # [B,S,N]
+        temp = None
+        if c.attn_temp_steps > 0 and step is not None:
+            # linear anneal attn_temp_start -> 1 over attn_temp_steps: soft
+            # early assignments keep the slot softmax plastic (the measured
+            # step-400 attn_ent collapse freezes the partition before any
+            # part-shaping signal can act)
+            frac = jnp.clip(step / float(c.attn_temp_steps), 0.0, 1.0)
+            temp = c.attn_temp_start + (1.0 - c.attn_temp_start) * frac
+        slots, attn_ori = self.slot_attention(ppinv, slot_rng, temp)  # [B,S,N]
         if gt_label is not None:
             # teacher-forced partition (diagnostic): does the objective
             # PREFER the part-aligned assignment once heads/decoders are fit

@@ -24,8 +24,17 @@ class SlotAttention(nn.Module):
     eps: float = 1e-8
 
     @nn.compact
-    def __call__(self, inputs: jnp.ndarray, rng: Optional[jax.Array] = None):
-        """inputs: [B, N, D] -> (slots [B, S, D], attn [B, S, N])."""
+    def __call__(
+        self,
+        inputs: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        temp: Optional[jnp.ndarray] = None,
+    ):
+        """inputs: [B, N, D] -> (slots [B, S, D], attn [B, S, N]).
+
+        ``temp`` (scalar >= 1) divides the slot-softmax logits — the
+        annealing lever (config.attn_temp_*) that keeps the attention
+        plastic early in training; None/1 is the reference semantics."""
         B, N, D = inputs.shape
         S = self.num_slots
         H = max(self.dim, self.hidden_dim)
@@ -91,6 +100,8 @@ class SlotAttention(nn.Module):
             q_in = slot_ln("norm_slots", slots)
             q = jnp.einsum("bsd,sde->bse", q_in, wq) + bq[None]
             dots = jnp.einsum("bsd,bsnd->bsn", q, k) * scale
+            if temp is not None:
+                dots = dots / temp
             attn_ori = jax.nn.softmax(dots, axis=1) + self.eps  # over slots
             attn_vis = attn_ori
             attn = attn_ori / jnp.sum(attn_ori, axis=-1, keepdims=True)

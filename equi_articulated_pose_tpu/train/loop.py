@@ -156,8 +156,8 @@ class Trainer:
             "slot_loss": out["slot_loss"],
             "recon_l1": out["recon_l1"],
         }
-        if (self.cfg.model.canon_consist_factor > 0.0
-                or self.cfg.model.axis_from_relpose > 0.0):
+        mc = self.cfg.model
+        if mc.needs_canon_pair:
             # cross-state canonical consistency (config.py docstring): run
             # the same forward on the paired canonical-state cloud — same
             # rng, so the slot queries (and hence slot indices) correspond —
@@ -183,42 +183,86 @@ class Trainer:
                 )
                 cxyz = jax.lax.stop_gradient(gc["inv_pts"])
 
-            # One-sided (target-network style): holding BOTH forwards'
-            # residuals for backward exceeds HBM (17.5G vs 15.75G at oven
-            # b4), and wrapping the canon pass in jax.checkpoint leaks
-            # tracers through the nested remat inside the chunked/fused conv
-            # backward.  stop_gradient instead: the canon pass is forward-
-            # only (XLA stores no residuals for it), and the posed decodes
-            # are pulled toward the per-instance canonical-state target —
-            # which still removes the state-absorbing degeneracy, since the
-            # target cannot chase the posed decode back.
-            (_cl, cout), _ = self.model.apply(
-                params, cxyz, rng, axis_prior,
-                gt_label=(
-                    batch["canon_label"]
-                    if self.cfg.model.force_gt_labels
-                    else None
-                ),
-                mutable=["batch_stats", "state"],
+            # the canonical twin FORWARD is only needed by losses that
+            # consume its outputs; motion_pair with index correspondence
+            # needs just the pre-aligned cloud pair
+            needs_canon_fwd = (
+                mc.canon_consist_factor > 0.0
+                or mc.axis_from_relpose > 0.0
+                or (mc.motion_pair_factor > 0.0
+                    and mc.motion_pair_corr == "feat")
             )
-            ctgt = jax.lax.stop_gradient({
-                k: cout[k]
-                for k in ("slot_canon", "pv_points", "central_points",
-                          "pred_R")
-            })
-            if self.cfg.model.canon_consist_factor > 0.0:
+            cout = None
+            if needs_canon_fwd:
+                # One-sided (target-network style): holding BOTH forwards'
+                # residuals for backward exceeds HBM (17.5G vs 15.75G at oven
+                # b4), and wrapping the canon pass in jax.checkpoint leaks
+                # tracers through the nested remat inside the chunked/fused
+                # conv backward.  stop_gradient instead: the canon pass is
+                # forward-only (XLA stores no residuals for it), and the
+                # posed decodes are pulled toward the per-instance
+                # canonical-state target — which still removes the
+                # state-absorbing degeneracy, since the target cannot chase
+                # the posed decode back.
+                (_cl, cout), _ = self.model.apply(
+                    params, cxyz, rng, axis_prior,
+                    gt_label=(
+                        batch["canon_label"]
+                        if self.cfg.model.force_gt_labels
+                        else None
+                    ),
+                    mutable=["batch_stats", "state"],
+                )
+            if mc.canon_consist_factor > 0.0 or mc.axis_from_relpose > 0.0:
+                ctgt = jax.lax.stop_gradient({
+                    k: cout[k]
+                    for k in ("slot_canon", "pv_points", "central_points",
+                              "pred_R")
+                })
+            if mc.canon_consist_factor > 0.0:
                 consist = canon_consistency_loss(out, ctgt)
-                loss = loss + self.cfg.model.canon_consist_factor * consist
+                loss = loss + mc.canon_consist_factor * consist
                 metrics["consist"] = jax.lax.stop_gradient(consist)
-            if self.cfg.model.axis_from_relpose > 0.0:
+            if mc.axis_from_relpose > 0.0:
                 from ..nn.losses import axis_from_relpose_loss
 
                 ax_rel = axis_from_relpose_loss(
                     out["pred_R"], ctgt["pred_R"], out["real_defined_axis"],
                     base_slot=out["base_slot"],
                 )
-                loss = loss + self.cfg.model.axis_from_relpose * ax_rel
+                loss = loss + mc.axis_from_relpose * ax_rel
                 metrics["ax_rel"] = jax.lax.stop_gradient(ax_rel)
+            if mc.motion_pair_factor > 0.0:
+                from ..nn.motion_pair import (
+                    feature_correspondence,
+                    motion_pair_attention_loss,
+                )
+
+                if mc.motion_pair_corr == "feat":
+                    corr = feature_correspondence(
+                        jax.lax.stop_gradient(out["ppinv"]),
+                        jax.lax.stop_gradient(cout["ppinv"]),
+                        cxyz,
+                    )
+                else:  # 'index': complete clouds share FPS indices
+                    corr = cxyz
+                mp_loss, mp_q = motion_pair_attention_loss(
+                    out["attn"], xyz, corr,
+                    em_iters=mc.motion_pair_em_iters,
+                    tau=mc.motion_pair_tau,
+                )
+                loss = loss + mc.motion_pair_factor * mp_loss
+                metrics["mp"] = jax.lax.stop_gradient(mp_loss)
+                # target-quality telemetry: IoU of the motion-cluster target
+                # itself vs GT — an upper bound on what the loss can teach
+                mp_hard = jax.nn.one_hot(
+                    jnp.argmax(mp_q, axis=1), mc.nmasks
+                ).transpose(0, 2, 1)
+                gt_oh = jax.nn.one_hot(
+                    batch["label"], batch["pose_segs"].shape[1]
+                ).transpose(0, 2, 1)
+                mt_iou, _ = matched_seg_iou(mp_hard, gt_oh)
+                metrics["mt_iou"] = jax.lax.stop_gradient(mt_iou.mean())
         # segmentation IoU vs GT (logging only; ref trainer:657-735)
         S = self.cfg.model.nmasks
         pred_onehot = jax.nn.one_hot(out["hard_labels"], S).transpose(0, 2, 1)
@@ -315,14 +359,11 @@ class Trainer:
         # dense eval-only arrays (oorr clouds, per-point poses) whose per-step
         # host->device transfer dominates wall clock on relayed TPU setups.
         step_keys = ("pc",) if self.stage == 0 else ("pc", "label", "pose_segs")
-        if self.stage == 1 and (self.cfg.model.canon_consist_factor > 0.0
-                                or self.cfg.model.axis_from_relpose > 0.0):
+        if self.stage == 1 and self.cfg.model.needs_canon_pair:
             step_keys = step_keys + ("canon_pc", "canon_label")
         # warm-up schedules need the global step inside the jitted loss;
         # shipped as a per-sample field so batch sharding stays uniform
-        ship_step = (
-            self.stage == 1 and self.cfg.model.purity_warmup_steps > 0
-        )
+        ship_step = self.stage == 1 and self.cfg.model.needs_step
 
         timer = Timer()
         K = self._k_per_call
@@ -345,10 +386,13 @@ class Trainer:
                     for k in step_keys
                 }
                 if ship_step:
-                    stacked["step_count"] = np.full(
+                    # each scanned microstep carries its own index so warm-up
+                    # ramps stay linear per step (not piecewise-constant in K)
+                    base = step + getattr(self, "_step_offset", 0)
+                    stacked["step_count"] = np.broadcast_to(
+                        (base + np.arange(K, dtype=np.int32))[:, None],
                         (K, cfg.train.batch_size),
-                        step + getattr(self, "_step_offset", 0), np.int32,
-                    )
+                    ).copy()
                 sb = jax.device_put(
                     stacked,
                     NamedSharding(self.mesh, P(None, DATA_AXIS)),
@@ -440,11 +484,21 @@ class Trainer:
                 # (VERDICT r3 item 4) between stages.
                 if (self.stage == 1 and step >= 20
                         and self.summary._vals.get("time", 9.9) < 0.5):
-                    try:
-                        with open("/tmp/healthy_mode_observed", "w") as fh:
-                            fh.write(f"{time.time()} {self.summary._vals['time']:.4f}\n")
-                    except OSError:
-                        pass
+                    # pid-suffixed so concurrent trainers' flags stay
+                    # attributable (a degraded ladder must not consume a
+                    # different healthy process's flag); the un-suffixed
+                    # legacy path is kept for older ladder scripts
+                    line = (
+                        f"{time.time()} {self.summary._vals['time']:.4f}"
+                        f" pid={os.getpid()} log_dir={self.log_dir}\n"
+                    )
+                    for mp in ("/tmp/healthy_mode_observed",
+                               f"/tmp/healthy_mode_observed.{os.getpid()}"):
+                        try:
+                            with open(mp, "w") as fh:
+                                fh.write(line)
+                        except OSError:
+                            pass
                 t_data = t_block = 0.0
                 last_log = step // cfg.train.log_freq
                 last_log_step = step
@@ -503,6 +557,9 @@ class Trainer:
         return out
 
     def save(self, params, step: int, opt_state=None, axis_prior=None):
+        # cumulative step across chained resumes: a resume->save->resume
+        # chain must not reset warm-up offsets / step accounting
+        step = step + getattr(self, "_step_offset", 0)
         path = os.path.join(
             self.log_dir, "ckpt", f"{self.cfg.experiment_id}_stage{self.stage}_net_Iter{step}.msgpack"
         )

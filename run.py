@@ -66,6 +66,25 @@ def build_argparser():
                              " loss (pairs each posed cloud with its"
                              " canonical-state twin; forces the joint motion"
                              " into theta*axis instead of the decoder)")
+        sp.add_argument("--motion-pair-factor", type=float, default=None,
+                        help="weight of the motion-based attention pairing"
+                             " loss: cluster cross-state point motion into S"
+                             " rigid transforms and CE the slot attention"
+                             " toward the matched clusters (the first signal"
+                             " that acts ON the attention)")
+        sp.add_argument("--motion-pair-tau", type=float, default=None,
+                        help="softmin temperature for the motion-cluster EM")
+        sp.add_argument("--motion-pair-corr", default=None,
+                        choices=("index", "feat"),
+                        help="cross-state correspondence: shared FPS indices"
+                             " (complete synthetic clouds) or feature-space"
+                             " 1-NN (partial/real scans)")
+        sp.add_argument("--attn-temp-start", type=float, default=None,
+                        help="initial slot-attention softmax temperature"
+                             " (anneals linearly to 1 over --attn-temp-steps)")
+        sp.add_argument("--attn-temp-steps", type=int, default=None,
+                        help="steps to anneal the attention temperature over"
+                             " (0 = off)")
         sp.add_argument("--soft-seg-weights", action="store_true",
                         help="weight the slot->orig chamfer by full soft "
                              "attention (soft-clustering segmentation dynamics)")
@@ -143,6 +162,16 @@ def _make_cfg(args):
         model_kw["canon_consist_factor"] = args.canon_consist
     if getattr(args, "axis_from_relpose", None) is not None:
         model_kw["axis_from_relpose"] = args.axis_from_relpose
+    if getattr(args, "motion_pair_factor", None) is not None:
+        model_kw["motion_pair_factor"] = args.motion_pair_factor
+    if getattr(args, "motion_pair_tau", None) is not None:
+        model_kw["motion_pair_tau"] = args.motion_pair_tau
+    if getattr(args, "motion_pair_corr", None) is not None:
+        model_kw["motion_pair_corr"] = args.motion_pair_corr
+    if getattr(args, "attn_temp_start", None) is not None:
+        model_kw["attn_temp_start"] = args.attn_temp_start
+    if getattr(args, "attn_temp_steps", None) is not None:
+        model_kw["attn_temp_steps"] = args.attn_temp_steps
     if getattr(args, "soft_seg_weights", False):
         model_kw["soft_seg_weights"] = True
     if getattr(args, "soft_seg_pointwise", False):
