@@ -27,6 +27,10 @@ def build_dataset(data_cfg, split: str = "train", canonical_input: bool = False,
     )
     common.update(kw)
     if dt == "synthetic":
+        # honour the preset's partial flag so `--category laptop_partial
+        # --dataset synthetic` rasterizes single-view posed clouds on the
+        # fly (the canonical/ori clouds stay complete, as in the reference)
+        common.setdefault("partial_view", data_cfg.partial)
         return SyntheticDataset(**common)
     if dt in ("motion", "motion2", "sapien"):
         return MotionDataset(root=data_cfg.dataset_path, **common)

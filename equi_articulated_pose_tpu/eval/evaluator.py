@@ -183,6 +183,10 @@ class Evaluator:
         # bbox-centring on the predicted part's input points (world frame)
         center = _masked_bbox_center(xyz, one_hot)
         T_w_bbox = T_w - center
+        # raw (un-centred) translation + the centre itself are exposed so the
+        # evaluator can decompose translation error into head-vs-centring
+        # contributions (the predicted-part bbox centre inherits every
+        # segmentation mistake; VERDICT r4 weak #3)
 
         B_, S_, M, _ = tp_w.shape
         cl1 = chamfer_l1(tp_w.reshape(B_, S_ * M, 3), xyz)
@@ -190,6 +194,8 @@ class Evaluator:
         return {
             "R_w": R_w,
             "T_w": T_w_bbox,
+            "T_w_raw": T_w,
+            "center": center,
             "labels": labels,
             "one_hot": one_hot,
             "slot_counts": one_hot.sum(1),
@@ -278,6 +284,7 @@ class Evaluator:
             for k in (
                 "rot", "canon_rot", "trans", "trans2", "iou", "iou_full",
                 "cl1", "relrot", "pv", "axis_deg", "ax_rp_err", "ax_rp_ang",
+                "rot_axproj", "trans2_cgt",
             )
         }
         for i, batch in enumerate(test_loader):
@@ -340,6 +347,56 @@ class Evaluator:
             )
             acc["trans"].append(np.linalg.norm(t_pred_delta - gt_T, axis=-1))
             acc["trans2"].append(np.linalg.norm(t_pred_canon - gt_T, axis=-1))
+
+            # --- translation decomposition (VERDICT r4 weak #3) -----------
+            # Counterfactual: re-centre BOTH passes' translations on the
+            # GT part's bbox instead of the predicted part's.  The gap
+            # between trans2 and this number is the segmentation-driven
+            # centring contribution; the remainder is the pose path itself.
+            def _gt_centers(pts, lbl, P):
+                c = np.zeros((pts.shape[0], P, 3), np.float32)
+                for b in range(pts.shape[0]):
+                    for p in range(P):
+                        m = lbl[b] == p
+                        if m.any():
+                            sel = pts[b][m]
+                            c[b, p] = (sel.min(0) + sel.max(0)) / 2.0
+                return c
+
+            P_ = matching.shape[1]
+            cg_posed = _gt_centers(
+                np.asarray(batch["pc"]), np.asarray(batch["label"]), P_
+            )
+            cg_canon = _gt_centers(
+                np.asarray(batch["canon_pc"]),
+                np.asarray(batch["canon_label"]), P_,
+            )
+            Tr_m = np.take_along_axis(np.asarray(out["T_w_raw"]), mi, 1)
+            cTr_m = np.take_along_axis(np.asarray(canon["T_w_raw"]), mi, 1)
+            t_cgt = (Tr_m - cg_posed) - np.einsum(
+                "bpij,bpj->bpi", R_canon_rel, cTr_m - cg_canon
+            )
+            acc["trans2_cgt"].append(np.linalg.norm(t_cgt - gt_T, axis=-1))
+
+            # --- symmetry-aware rotation (VERDICT r4 item 7) --------------
+            # Axis-projected error: how far the predicted rotation carries
+            # the GT joint axis from where the GT rotation carries it —
+            # invariant to spin about the joint axis, so the near-planar
+            # symmetry of parts like the safe door (raw IQR 31-67 deg)
+            # cannot dominate it.  Both numbers are reported (the ref's
+            # RANSAC carries the analogous axis_mean handling, ransac.py
+            # :58-76).  a_mesh = gt_Rᵀ·part_axis == the mesh-frame joint
+            # axis for every part (see relpose_axis_errors' frame note).
+            ax_w0 = np.asarray(batch["part_axis"])[:, 0]
+            ax_w0 = ax_w0 / np.clip(
+                np.linalg.norm(ax_w0, axis=-1, keepdims=True), 1e-8, None
+            )
+            a_mesh = np.einsum("bpji,bj->bpi", gt_R, ax_w0)      # [B, P, 3]
+            carried = np.einsum("bpij,bpj->bpi", R_delta, a_mesh)
+            dots_ax = np.clip(
+                np.sum(carried * ax_w0[:, None], axis=-1), -1.0, 1.0
+            )
+            acc["rot_axproj"].append(np.degrees(np.arccos(dots_ax)))
             acc["relrot"].append(
                 np.asarray(
                     relative_rotation_errors(
@@ -385,6 +442,8 @@ class Evaluator:
         canon_rot = np.concatenate(acc["canon_rot"], 0)
         trans = np.concatenate(acc["trans"], 0)
         trans2 = np.concatenate(acc["trans2"], 0)
+        t2cgt = np.concatenate(acc["trans2_cgt"], 0)
+        rot_axp = np.concatenate(acc["rot_axproj"], 0)
         relrot = np.concatenate(acc["relrot"], 0)
         iou_s = np.concatenate(acc["iou"])
         metrics = {
@@ -413,6 +472,15 @@ class Evaluator:
             metrics[f"trans2_err_part{p}_mean"] = float(np.mean(trans2[:, p]))
             metrics[f"trans2_err_part{p}_median"] = float(
                 np.median(trans2[:, p])
+            )
+            metrics[f"trans2_cgt_err_part{p}_mean"] = float(
+                np.mean(t2cgt[:, p])
+            )
+            metrics[f"rot_axproj_err_deg_part{p}_mean"] = float(
+                np.mean(rot_axp[:, p])
+            )
+            metrics[f"rot_axproj_err_deg_part{p}_median"] = float(
+                np.median(rot_axp[:, p])
             )
         for k in range(relrot.shape[1]):
             metrics[f"rel_rot_err_deg_pair{k}_mean"] = float(np.mean(relrot[:, k]))
