@@ -271,7 +271,18 @@ class SlotPoseModel(nn.Module):
         if self.cfg.use_art_mode and hard_label is not None:
             seg = hard_label  # seg-aware art-mode convolution (ref :1561-1577)
         if x_list is None:
-            x = self.backbone(preprocess_input(xyz, A), seg)
+            # both towers ball-query the SAME cloud at the SAME radii: the
+            # feature-independent neighbourhood work (ball query + relative
+            # offsets) is computed once and fed to both (roadmap #3); layers
+            # sharing (radius, n_neighbor) also reuse each other's
+            from ..nn.blocks import precompute_groupings
+
+            groupings = precompute_groupings(xyz, self.backbone.specs)
+            x = self.backbone(preprocess_input(xyz, A), seg, groupings)
+            if x_seg is None:
+                x_seg = self.backbone_sec(
+                    preprocess_input(xyz, A), None, groupings
+                )
         else:
             S = x_list.shape[0]  # [S, B, N, 3]
             flat = x_list.reshape(S * B, N, 3)

@@ -18,7 +18,7 @@ from flax import linen as nn
 from .containers import SpherePoints
 from .norm import EquivNorm
 from .so3conv import InterSO3Conv, IntraSO3Conv
-from ..ops.sampling import gather_points
+from ..ops.sampling import ball_query, gather_points, group_points
 
 
 def _act(name: str):
@@ -59,7 +59,7 @@ class InterSO3ConvBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: SpherePoints, seg=None) -> SpherePoints:
+    def __call__(self, x: SpherePoints, seg=None, grouping=None) -> SpherePoints:
         s = self.spec
         y = InterSO3Conv(
             dim_out=s.dim_out,
@@ -76,7 +76,7 @@ class InterSO3ConvBlock(nn.Module):
             fused=s.fused,
             fused_bwd=s.fused_bwd,
             remat_chunks=s.remat_chunks,
-        )(x, seg)
+        )(x, seg, grouping)
         f = EquivNorm(kind=s.norm, axis_name=self.axis_name)(y.feats)
         f = _act(s.activation)(f)
         return SpherePoints(y.xyz, f, y.pose)
@@ -90,10 +90,10 @@ class SeparableSO3ConvBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: SpherePoints, seg=None) -> SpherePoints:
+    def __call__(self, x: SpherePoints, seg=None, grouping=None) -> SpherePoints:
         s = self.spec
         skip_in = x.feats
-        y = InterSO3ConvBlock(spec=s, axis_name=self.axis_name)(x, seg)
+        y = InterSO3ConvBlock(spec=s, axis_name=self.axis_name)(x, seg, grouping)
         if s.use_2d:
             from .extras import IntraSO3Conv2D
 
@@ -129,11 +129,34 @@ class SO3Backbone(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: SpherePoints, seg=None) -> SpherePoints:
+    def __call__(self, x: SpherePoints, seg=None, groupings=None) -> SpherePoints:
         for i, s in enumerate(self.specs):
             cls = SeparableSO3ConvBlock if s.block_type == "separable_block" else InterSO3ConvBlock
-            x = cls(spec=s, axis_name=self.axis_name, name=f"block{i}")(x, seg)
+            g = groupings[i] if groupings is not None else None
+            x = cls(spec=s, axis_name=self.axis_name, name=f"block{i}")(x, seg, g)
         return x
+
+
+def precompute_groupings(xyz: jnp.ndarray, specs: Sequence[ConvBlockSpec]):
+    """Feature-independent neighbourhood work for a stride-1 backbone, shared
+    across towers (OPTIMIZATION.md roadmap #3): both the slot tower and the
+    segmentation tower ball-query the SAME cloud at the SAME radii, so the
+    (ball_idx, grouped_xyz) pair per layer can be computed once and fed to
+    both ``SO3Backbone`` calls.  Layers with identical (radius, n_neighbor)
+    also share with each other.  Returns one entry per spec."""
+    cache: dict = {}
+    out = []
+    for s in specs:
+        if s.stride != 1:
+            out.append(None)
+            continue
+        key = (float(s.radius), int(s.n_neighbor))
+        if key not in cache:
+            bi = ball_query(xyz, xyz, s.radius, s.n_neighbor)
+            gx = group_points(xyz, bi) - xyz[:, :, None, :]
+            cache[key] = (bi, gx)
+        out.append(cache[key])
+    return tuple(out)
 
 
 def make_backbone_specs(

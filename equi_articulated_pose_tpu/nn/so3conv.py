@@ -223,12 +223,20 @@ class InterSO3Conv(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: SpherePoints, seg: Optional[jnp.ndarray] = None
+        self,
+        x: SpherePoints,
+        seg: Optional[jnp.ndarray] = None,
+        grouping: Optional[tuple] = None,
     ) -> SpherePoints:
         """``seg`` [B, N] enables art-mode grouping: neighbours from OTHER
         parts contribute their neighbourhood max-pooled feature instead of
         their own (ref ``inter_so3poseconv_grouping_strided_arti_mode``,
-        ``so3conv/functional.py:2434-2442``)."""
+        ``so3conv/functional.py:2434-2442``).
+
+        ``grouping`` = (ball_idx [B,M,nn], grouped_xyz [B,M,nn,3]) precomputed
+        for this layer's (radius, n_neighbor) on the SAME cloud — lets callers
+        share the feature-independent neighbourhood work across towers
+        (OPTIMIZATION.md roadmap #3).  Stride-1 only."""
         xyz, feats, pose = x.xyz, x.feats, x.pose
         B, N, A, C = feats.shape
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -253,8 +261,11 @@ class InterSO3Conv(nn.Module):
         else:
             new_xyz, new_pose = xyz, pose
 
-        ball_idx = ball_query(new_xyz, xyz, self.radius, self.n_neighbor)
-        grouped_xyz = group_points(xyz, ball_idx) - new_xyz[:, :, None, :]
+        if grouping is not None and self.stride == 1:
+            ball_idx, grouped_xyz = grouping
+        else:
+            ball_idx = ball_query(new_xyz, xyz, self.radius, self.n_neighbor)
+            grouped_xyz = group_points(xyz, ball_idx) - new_xyz[:, :, None, :]
 
         anchor_perm = None
         if self.use_pose and pose is not None and self.permute_modes > 0 and self.kanchor == 60:
