@@ -170,3 +170,25 @@ def test_two_pass_evaluator_teacher_forced_gt_labels():
     np.testing.assert_allclose(metrics["seg_iou"], 1.0, atol=1e-5)
     assert np.isfinite(metrics["rot_err_deg_part0_mean"])
     assert np.isfinite(metrics["rot_err_deg_part1_mean"])
+
+
+def test_axis_projected_rotation_error_spin_invariant():
+    """rot_axproj semantics (evaluator): error of the predicted rotation
+    acting on the GT joint axis.  A prediction equal to GT composed with an
+    arbitrary spin ABOUT the axis must score ~0 while the raw geodesic error
+    is large — the symmetry-ambiguity case (safe door) the metric exists for.
+    """
+    rng = np.random.RandomState(3)
+    ax = rng.randn(3); ax /= np.linalg.norm(ax)
+    gt = np.asarray(so3.axis_angle_to_matrix(jnp.asarray(ax), jnp.asarray(0.7)))
+    spin = np.asarray(
+        so3.axis_angle_to_matrix(jnp.asarray(ax), jnp.asarray(2.0))
+    )
+    pred = gt @ spin                       # spin about the axis FIRST
+    # the evaluator's formula: a_mesh = gt^T axis_world; carried = pred a_mesh
+    a_mesh = gt.T @ ax
+    carried = pred @ a_mesh
+    err = np.degrees(np.arccos(np.clip(np.dot(carried, ax), -1, 1)))
+    raw = float(rot_diff_degree(jnp.asarray(pred)[None], jnp.asarray(gt)[None])[0])
+    assert err < 0.1  # f32 trig noise only
+    assert raw > 90.0
