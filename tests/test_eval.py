@@ -182,7 +182,7 @@ def test_axis_projected_rotation_error_spin_invariant():
     ax = rng.randn(3); ax /= np.linalg.norm(ax)
     gt = np.asarray(so3.axis_angle_to_matrix(jnp.asarray(ax), jnp.asarray(0.7)))
     spin = np.asarray(
-        so3.axis_angle_to_matrix(jnp.asarray(ax), jnp.asarray(2.0))
+        so3.axis_angle_to_matrix(jnp.asarray(ax), jnp.asarray(1.0))
     )
     pred = gt @ spin                       # spin about the axis FIRST
     # the evaluator's formula: a_mesh = gt^T axis_world; carried = pred a_mesh
@@ -191,4 +191,5 @@ def test_axis_projected_rotation_error_spin_invariant():
     err = np.degrees(np.arccos(np.clip(np.dot(carried, ax), -1, 1)))
     raw = float(rot_diff_degree(jnp.asarray(pred)[None], jnp.asarray(gt)[None])[0])
     assert err < 0.1  # f32 trig noise only
-    assert raw > 90.0
+    # rot_diff_degree folds to min(d, 180-d); a 1-rad spin reads 57.3 deg
+    assert raw > 45.0
