@@ -1,0 +1,102 @@
+#!/bin/bash
+# Round-5 follow-up ladder: motion-pair arm on the 3-slot chain family
+# (eyeglasses — tests the EM teacher at S=3; headroom 0.284 -> ~0.7 teacher)
+# plus any arm the main ladder (train_ladder_r5.sh) ran out of budget for.
+# Launch AFTER the main ladder exits; shares its helpers by sourcing nothing
+# (self-contained, same conventions).
+set -x
+cd /root/repo
+mkdir -p ckpt_r5 logs_r5
+PCKPT=ckpt_r5/playground/ckpt
+DEADLINE_EPOCH=${DEADLINE_EPOCH:?set DEADLINE_EPOCH explicitly (epoch seconds)}
+left () { echo $(( DEADLINE_EPOCH - $(date +%s) )); }
+over () { [ "$(left)" -le 180 ]; }
+wait_relay () {
+  until timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+    over && exit 0
+    sleep 60
+  done
+}
+brun () {
+  local t=$1; shift
+  local rem; rem=$(left)
+  [ "$rem" -le 180 ] && return 1
+  [ "$t" -gt "$rem" ] && t=$rem
+  timeout "$t" "$@"
+}
+harvest () {
+  local name=$1 stage=$2
+  local latest
+  latest=$(ls -v "$PCKPT"/playground_stage${stage}_net_Iter*.msgpack 2>/dev/null | tail -1)
+  if [ -n "$latest" ]; then
+    local it=${latest##*Iter}; it=${it%.msgpack}
+    echo "$it" > "ckpt_r5/${name}_stage${stage}.steps"
+    cp "$latest" "ckpt_r5/${name}_stage${stage}_resume.msgpack"
+    cp "$latest" "ckpt_r5/${name}_stage${stage}_partial.msgpack"
+  fi
+  rm -rf "$PCKPT"
+}
+train_stage () {
+  local name=$1 cat=$2 stage=$3 target=$4 bs=$5 budget=$6; shift 6
+  local final="ckpt_r5/${name}_stage${stage}.msgpack"
+  local produced="ckpt_r5/${cat}_stage${stage}.msgpack"
+  local cum_ck="ckpt_r5/${name}_stage${stage}_resume.msgpack"
+  local cum_f="ckpt_r5/${name}_stage${stage}.steps"
+  local t_end=$(( $(date +%s) + budget ))
+  local att
+  for att in 1 2 3 4; do
+    [ -f "$final" ] && return 0
+    over && return 1
+    local rem_budget=$(( t_end - $(date +%s) ))
+    [ "$rem_budget" -le 120 ] && break
+    wait_relay
+    harvest "$name" "$stage"
+    local done=0
+    [ -f "$cum_f" ] && done=$(cat "$cum_f")
+    local todo=$((target - done))
+    if [ "$todo" -le 0 ]; then
+      [ -f "$cum_ck" ] && cp "$cum_ck" "$final" && return 0
+      todo=$target; echo 0 > "$cum_f"
+    fi
+    local res=()
+    [ -f "$cum_ck" ] && res=(--resume "$cum_ck")
+    rm -f "$produced"
+    brun "$rem_budget" python run.py train --category "$cat" --dataset synthetic \
+        --stage "$stage" --steps "$todo" --batch-size "$bs" "${res[@]}" "$@" \
+        --compute-dtype bfloat16 --chunk-a 12 --ckpt-dir ckpt_r5 \
+        >> "logs_r5/${name}_stage${stage}.log" 2>&1
+    if [ -f "$produced" ]; then
+      [ "$final" != "$produced" ] && mv "$produced" "$final"
+      echo "$target" > "$cum_f"
+      cp "$final" "$cum_ck"
+      rm -rf "$PCKPT"
+      return 0
+    fi
+    harvest "$name" "$stage"
+  done
+  return 1
+}
+run_eval () {
+  local log=$1 cat=$2 ck=$3 glb=$4; shift 4
+  [ -f "$ck" ] || ck="${ck%.msgpack}_resume.msgpack"
+  [ -f "$ck" ] || return 0
+  grep -q seg_iou "logs_r5/${log}.log" 2>/dev/null && return 0
+  wait_relay
+  brun 2700 python run.py eval --category "$cat" --dataset synthetic \
+      --ckpt "$ck" --ckpt-glb "$glb" \
+      --compute-dtype bfloat16 --chunk-a 12 --batch-size 4 --max-batches 15 \
+      "$@" > "logs_r5/${log}.log" 2>&1
+}
+
+MP_FLAGS=(--motion-pair-factor 1.0 --attn-temp-start 4.0 --attn-temp-steps 1200
+          --purity-factor 1.0 --purity-warmup 1500 --ov-max-factor 1.0)
+
+# eyeglasses motion-pair arm (b1: the 240-anchor family's HBM ceiling)
+train_stage glassmp eyeglasses 1 2000 1 9000 \
+    --resume-glb ckpt_r2/eyeglasses_stage0.msgpack \
+    --eval-freq 500 --log-freq 100 "${MP_FLAGS[@]}"
+run_eval glassmp_eval eyeglasses ckpt_r5/glassmp_stage1.msgpack \
+    ckpt_r2/eyeglasses_stage0.msgpack
+
+echo R5B-LADDER-DONE >> logs_r5/ladder_r5.log
+echo R5B-LADDER-DONE
