@@ -123,6 +123,9 @@ def build_argparser():
     e.add_argument("--ckpt", required=True)
     e.add_argument("--ckpt-glb", default=None)
     e.add_argument("--max-batches", type=int, default=50)
+    e.add_argument("--data-seed", type=int, default=None,
+                   help="override the test dataset's shape seed (repeat-seed "
+                        "evals: fresh val shapes, identical compiled step)")
     return p
 
 
@@ -271,7 +274,8 @@ def main():
             jax.random.PRNGKey(0),
             args.max_batches,
         )
-        test = build_dataset(cfg.data, split="test")
+        seed_kw = {} if args.data_seed is None else {"seed": args.data_seed}
+        test = build_dataset(cfg.data, split="test", **seed_kw)
         metrics = ev.evaluate(
             DataLoader(test, cfg.train.batch_size, shuffle=False, prefetch=0),
             deltas,
