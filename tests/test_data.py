@@ -93,3 +93,24 @@ def test_loader_shapes_and_sharding():
     dl_p = DataLoader(ds, batch_size=4, seed=1, prefetch=2)
     b2 = next(iter(dl_p))
     np.testing.assert_allclose(b2["pc"], batch["pc"])
+
+
+def test_factory_seed_override_regenerates_test_split():
+    """run.py eval --data-seed plumbs a fresh shape seed through the factory
+    (repeat-seed evals, VERDICT r4 weak #6): same contract, different shapes."""
+    import dataclasses
+
+    from equi_articulated_pose_tpu.config import get_config
+    from equi_articulated_pose_tpu.data import build_dataset
+
+    data_cfg = dataclasses.replace(
+        get_config("tiny").data, dataset_type="synthetic"
+    )
+    a = build_dataset(data_cfg, split="test")
+    b = build_dataset(data_cfg, split="test", seed=1)
+    sa, sb = a[0], b[0]
+    assert sa["pc"].shape == sb["pc"].shape
+    assert not np.allclose(sa["pc"], sb["pc"])
+    # same-seed rebuild is deterministic
+    a2 = build_dataset(data_cfg, split="test")
+    np.testing.assert_allclose(a2[0]["pc"], sa["pc"])
