@@ -147,6 +147,13 @@ class ModelConfig:
     # cloud) for the EM reassignment and the articulation gate
     motion_pair_tau: float = 2.5e-3
     motion_pair_em_iters: int = 4
+    # spatial-coherence term for the EM (nn/motion_pair.py): separates parts
+    # with IDENTICAL motions but disjoint extents (drawer: the multi-sample
+    # grid translates every drawer by the same distance — pure motion
+    # clustering merges them).  0 keeps the pure-motion teacher (and its
+    # traced HLO) unchanged.
+    motion_pair_spatial: float = 0.0
+    motion_pair_spatial_tau: float = 0.04
     # correspondence source: 'index' (complete synthetic clouds share FPS
     # indices across states — data/articulated.py) | 'feat' (1-NN in the
     # rotation-invariant ppinv feature space; partial/real scans)

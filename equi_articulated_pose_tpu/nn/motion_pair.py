@@ -78,6 +78,29 @@ def _residuals(R, t, src, dst):
     return jnp.sum((pred - dst[..., None, :, :]) ** 2, axis=-1)
 
 
+def _fps_indices(z: jnp.ndarray, S: int, mask: jnp.ndarray | None = None):
+    """Deterministic farthest-point selection: [B, N, D] -> indices [B, S].
+
+    Starts from the (masked) point farthest from the mean; with ``mask``
+    only True points are selectable.  S <= 4 everywhere so the selection
+    loop unrolls statically under jit."""
+    neg = jnp.asarray(-jnp.inf, dtype=z.dtype)
+    d = jnp.sum((z - jnp.mean(z, axis=1, keepdims=True)) ** 2, -1)
+    if mask is not None:
+        d = jnp.where(mask, d, neg)
+    idx = jnp.argmax(d, axis=1)                                 # [B]
+    out = [idx]
+    sel = jnp.take_along_axis(z, idx[:, None, None], axis=1)    # [B, 1, D]
+    mind = jnp.sum((z - sel) ** 2, -1)                          # [B, N]
+    for _ in range(S - 1):
+        cand = jnp.where(mask, mind, neg) if mask is not None else mind
+        idx = jnp.argmax(cand, axis=1)
+        out.append(idx)
+        sel = jnp.take_along_axis(z, idx[:, None, None], axis=1)
+        mind = jnp.minimum(mind, jnp.sum((z - sel) ** 2, -1))
+    return jnp.stack(out, axis=1)                               # [B, S]
+
+
 def motion_cluster_targets(
     src: jnp.ndarray,            # [B, N, 3] canonical-state points
     dst: jnp.ndarray,            # [B, N, 3] posed-state correspondents
@@ -85,35 +108,96 @@ def motion_cluster_targets(
     *,
     em_iters: int = 4,
     tau: float = 2.5e-3,
+    spatial_weight: float = 0.0,
+    spatial_tau: float = 0.04,
 ):
     """Unsupervised K-rigid-motion clustering of an index-aligned pair.
 
     Returns (q [B, S, N] soft responsibilities, gate [B] articulation gate).
     Pure function of the inputs — callers wrap in stop_gradient.
-    """
+
+    ``spatial_weight > 0`` adds a spatial-coherence term: the E-step energy
+    becomes motion_res/tau + w * ||x - c_s||^2 / spatial_tau (c_s = cluster
+    centroid in the canonical frame) and seeding switches to farthest-point
+    in the jointly scaled (flow, position) space.  This separates parts
+    whose MOTIONS are identical but which are spatially disjoint — the
+    drawer category's failure mode (the multi-sample grid translates all
+    drawers by the same distance, so pure motion clustering merges them;
+    measured teacher IoU 0.33 at w=0).  At w=0 the behaviour (and the
+    revolute categories' measured teachers) is unchanged."""
     B, N, _ = src.shape
     S = num_clusters
     ones = jnp.ones((B, N), dtype=src.dtype)
     Rg, tg = weighted_kabsch(src, dst, ones)                    # global fit
+    # NOTE: keep this exact formulation for the w=0 path — it is traced into
+    # every motion-pair training step and must stay HLO-stable so cached
+    # executables survive the spatial-option addition
     r_g = _residuals(Rg[:, None], tg[:, None], src, dst)[:, 0]  # [B, N]
     # articulation gate: if one rigid transform explains the pair, the
     # pair carries no part information
     r_mean = jnp.mean(r_g, axis=-1)                             # [B]
     gate = r_mean / (r_mean + tau)
 
-    # seed: split by residual rank under the global fit (the static part
-    # sits low, the articulated part high); EM corrects the 1/S sizes
-    ranks = jnp.argsort(jnp.argsort(r_g, axis=-1), axis=-1)     # [B, N]
-    grp = jnp.clip((ranks * S) // N, 0, S - 1)
-    q = jax.nn.one_hot(grp, S, axis=-1).transpose(0, 2, 1)      # [B, S, N]
+    if spatial_weight > 0.0:
+        # articulated-structure-aware seeding.  Plain farthest-point in the
+        # joint (flow, position) space seeds the LARGEST part's corners and
+        # leaves same-motion parts merged (measured: drawer teacher stuck at
+        # 0.32-0.40).  Instead: one static anchor (the point the global fit
+        # explains best) + S-1 mover seeds by position-FPS restricted to
+        # above-median-residual points — for tied articulations (drawer)
+        # that lands one seed per spatially disjoint moving part.
+        r_vec = (
+            jnp.einsum("bij,bnj->bni", Rg, src) + tg[:, None] - dst
+        )                                                       # [B, N, 3]
+        i_static = jnp.argmin(r_g, axis=1)[:, None]             # [B, 1]
+        mover = r_g >= jnp.median(r_g, axis=1, keepdims=True)
+        i_move = _fps_indices(src, S - 1, mask=mover)           # [B, S-1]
+        idx = jnp.concatenate([i_static, i_move], axis=1)       # [B, S]
+        # assign in the jointly scaled space the E-step scores:
+        # flow / sqrt(tau)  ⊕  position * sqrt(w / spatial_tau)
+        z = jnp.concatenate(
+            [
+                r_vec / jnp.sqrt(tau),
+                src * jnp.sqrt(spatial_weight / spatial_tau),
+            ],
+            axis=-1,
+        )
+        zc = jnp.take_along_axis(z, idx[..., None], axis=1)     # [B, S, D]
+        d0 = jnp.sum((z[:, None] - zc[:, :, None]) ** 2, -1)    # [B, S, N]
+        q = jax.nn.one_hot(jnp.argmin(d0, axis=1), S, axis=-1).transpose(0, 2, 1)
+    else:
+        # seed: split by residual rank under the global fit (the static part
+        # sits low, the articulated part high); EM corrects the 1/S sizes
+        ranks = jnp.argsort(jnp.argsort(r_g, axis=-1), axis=-1)  # [B, N]
+        grp = jnp.clip((ranks * S) // N, 0, S - 1)
+        q = jax.nn.one_hot(grp, S, axis=-1).transpose(0, 2, 1)   # [B, S, N]
 
     src_s = jnp.broadcast_to(src[:, None], (B, S, N, 3))
     dst_s = jnp.broadcast_to(dst[:, None], (B, S, N, 3))
 
+    # sample-adaptive motion temperature for the spatial branch: drawer
+    # articulations span |r| ~ 0 - 0.12 across the multi-sample grid, so a
+    # fixed tau either drowns the spatial term (large articulation) or lets
+    # it take over (small); scaling by the sample's own articulation
+    # magnitude keeps the two terms comparable at every joint state
+    tau_eff = jnp.maximum(tau, 0.5 * r_mean)[:, None, None]     # [B, 1, 1]
+
     def em(q, _):
         R, t = weighted_kabsch(src_s, dst_s, q)                 # [B,S,...]
         res = _residuals(R, t, src, dst)                        # [B, S, N]
-        return jax.nn.softmax(-res / tau, axis=1), None
+        if spatial_weight > 0.0:
+            res = res / tau_eff
+            wn = q / jnp.clip(jnp.sum(q, axis=-1, keepdims=True), 1e-8)
+            c = jnp.einsum("bsn,bnd->bsd", wn, src)             # [B, S, 3]
+            # isotropic Gaussian position term.  A diagonal-Mahalanobis
+            # variant (fitted per-cluster variance + floor) measured WORSE
+            # (0.32-0.34 vs 0.40 drawer teacher IoU): the merged-drawers
+            # local optimum self-justifies with a large fitted variance.
+            d_sp = jnp.sum((src[:, None] - c[:, :, None]) ** 2, -1)
+            res = res + spatial_weight * d_sp / spatial_tau
+        else:
+            res = res / tau
+        return jax.nn.softmax(-res, axis=1), None
 
     q, _ = jax.lax.scan(em, q, None, length=em_iters)
     return q, gate
@@ -168,6 +252,8 @@ def motion_pair_attention_loss(
     *,
     em_iters: int = 4,
     tau: float = 2.5e-3,
+    spatial_weight: float = 0.0,
+    spatial_tau: float = 0.04,
 ):
     """Cross-entropy from the attention toward the motion-cluster target.
 
@@ -181,6 +267,8 @@ def motion_pair_attention_loss(
         attn.shape[1],
         em_iters=em_iters,
         tau=tau,
+        spatial_weight=spatial_weight,
+        spatial_tau=spatial_tau,
     )
     q = match_to_slots(q, jax.lax.stop_gradient(attn))
     q = jax.lax.stop_gradient(q)

@@ -250,6 +250,8 @@ class Trainer:
                     out["attn"], xyz, corr,
                     em_iters=mc.motion_pair_em_iters,
                     tau=mc.motion_pair_tau,
+                    spatial_weight=mc.motion_pair_spatial,
+                    spatial_tau=mc.motion_pair_spatial_tau,
                 )
                 loss = loss + mc.motion_pair_factor * mp_loss
                 metrics["mp"] = jax.lax.stop_gradient(mp_loss)

@@ -74,6 +74,10 @@ def build_argparser():
                              " that acts ON the attention)")
         sp.add_argument("--motion-pair-tau", type=float, default=None,
                         help="softmin temperature for the motion-cluster EM")
+        sp.add_argument("--motion-pair-spatial", type=float, default=None,
+                        help="spatial-coherence weight for the motion EM:"
+                             " separates parts with identical motions but"
+                             " disjoint extents (drawer)")
         sp.add_argument("--motion-pair-corr", default=None,
                         choices=("index", "feat"),
                         help="cross-state correspondence: shared FPS indices"
@@ -169,6 +173,8 @@ def _make_cfg(args):
         model_kw["motion_pair_factor"] = args.motion_pair_factor
     if getattr(args, "motion_pair_tau", None) is not None:
         model_kw["motion_pair_tau"] = args.motion_pair_tau
+    if getattr(args, "motion_pair_spatial", None) is not None:
+        model_kw["motion_pair_spatial"] = args.motion_pair_spatial
     if getattr(args, "motion_pair_corr", None) is not None:
         model_kw["motion_pair_corr"] = args.motion_pair_corr
     if getattr(args, "attn_temp_start", None) is not None:

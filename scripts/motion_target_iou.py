@@ -26,7 +26,16 @@ from equi_articulated_pose_tpu.data import DataLoader, build_dataset
 from equi_articulated_pose_tpu.eval.metrics import matched_seg_iou
 from equi_articulated_pose_tpu.nn.motion_pair import motion_cluster_targets
 
-cats = sys.argv[1:] or ["oven", "washing_machine", "safe", "laptop", "eyeglasses"]
+import argparse
+
+ap = argparse.ArgumentParser()
+ap.add_argument("cats", nargs="*",
+                default=["oven", "washing_machine", "safe", "laptop", "eyeglasses"])
+ap.add_argument("--spatial", type=float, default=0.0,
+                help="spatial_weight for the EM (0 = pure motion)")
+ap.add_argument("--spatial-tau", type=float, default=0.04)
+args = ap.parse_args()
+cats = args.cats
 B, NBATCH = 4, 8
 
 for cat in cats:
@@ -43,7 +52,10 @@ for cat in cats:
         pc = jnp.asarray(batch["pc"])              # [B, N, 3] posed (R1 on)
         cpc = jnp.asarray(batch["canon_pc"])       # [B, N, 3] canonical state
         lbl = np.asarray(batch["label"])           # [B, N]
-        q, gate = motion_cluster_targets(cpc, pc, S)
+        q, gate = motion_cluster_targets(
+            cpc, pc, S,
+            spatial_weight=args.spatial, spatial_tau=args.spatial_tau,
+        )
         q_hard = jax.nn.one_hot(jnp.argmax(q, 1), S).transpose(0, 2, 1)
         P = batch["pose_segs"].shape[1]
         gt = jax.nn.one_hot(jnp.asarray(lbl), P).transpose(0, 2, 1)

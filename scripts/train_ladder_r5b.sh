@@ -89,7 +89,11 @@ run_eval () {
 }
 
 MP_FLAGS=(--motion-pair-factor 1.0 --attn-temp-start 4.0 --attn-temp-steps 1200
-          --purity-factor 1.0 --purity-warmup 1500 --ov-max-factor 1.0)
+          --purity-factor 1.0 --purity-warmup 1500 --ov-max-factor 1.0
+          --motion-pair-spatial 0.3)
+# --motion-pair-spatial 0.3: measured teacher IoU eyeglasses 0.852 vs 0.715
+# without (scripts/motion_target_iou.py — the arms are spatially disjoint);
+# oven unchanged (0.793 both ways)
 
 # eyeglasses motion-pair arm (b1: the 240-anchor family's HBM ceiling)
 train_stage glassmp eyeglasses 1 2000 1 9000 \

@@ -185,3 +185,50 @@ def test_attn_temperature_anneal():
         return float(-(pn * jnp.log(jnp.clip(pn, 1e-8))).sum(1).mean())
 
     assert ent(a_hot) > ent(a_cold)
+
+
+def test_spatial_term_separates_identical_motions():
+    """Two compact parts translated by the SAME vector (the drawer failure
+    mode) merge under pure motion clustering; the spatial-coherence term
+    splits them.  w=0 must stay bit-compatible with the original targets."""
+    rng = np.random.RandomState(0)
+    static = rng.uniform(-0.6, 0.6, (200, 3)).astype(np.float32)
+    static[:, 1] *= 0.1
+    boxa = rng.uniform(-0.15, 0.15, (80, 3)).astype(np.float32)
+    boxa[:, 1] += 1.0
+    boxb = rng.uniform(-0.15, 0.15, (80, 3)).astype(np.float32)
+    boxb[:, 1] += 2.0
+    canon = np.concatenate([static, boxa, boxb], 0)
+    d = np.array([0.0, 0.0, 0.3], np.float32)
+    posed = canon.copy()
+    posed[200:] += d                         # both boxes move identically
+    labels = np.concatenate(
+        [np.zeros(200, np.int32), np.ones(80, np.int32), np.full(80, 2, np.int32)]
+    )
+
+    src = jnp.asarray(canon)[None]
+    dst = jnp.asarray(posed)[None]
+
+    def iou(q):
+        hard = np.asarray(jnp.argmax(q, 1))[0]
+        best = 0.0
+        import itertools as it
+
+        for perm in it.permutations(range(3)):
+            m = np.asarray(perm)[hard]
+            vals = []
+            for p in range(3):
+                inter = np.sum((m == p) & (labels == p))
+                union = np.sum((m == p) | (labels == p))
+                vals.append(inter / max(union, 1))
+            best = max(best, float(np.mean(vals)))
+        return best
+
+    q0, gate0 = motion_cluster_targets(src, dst, 3)
+    qs, gates = motion_cluster_targets(
+        src, dst, 3, spatial_weight=0.3, spatial_tau=0.04
+    )
+    np.testing.assert_allclose(np.asarray(gate0), np.asarray(gates))
+    # pure motion cannot tell the boxes apart; spatial coherence can
+    assert iou(qs) > 0.95, iou(qs)
+    assert iou(qs) > iou(q0) + 0.2, (iou(qs), iou(q0))
