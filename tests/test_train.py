@@ -82,3 +82,30 @@ def test_stage1_axis_prior_training(tmp_path):
     assert prior.shape == (cfg.model.nmasks, 3)
     # pmean of per-shard unit priors is sub-unit when shards disagree
     np.testing.assert_allclose(np.linalg.norm(prior, axis=-1), 1.0, atol=1e-2)
+
+
+def test_stage1_partial_view_motion_pair_feat(tmp_path):
+    """The partlap recipe's exact flag combination on the tiny preset:
+    partial-view synthetic data (independent posed/canonical orderings) +
+    motion-pair loss with FEATURE correspondence + attention-temperature
+    anneal.  Guards the chip arm against an unexercised-path crash
+    (ref MotionDatasetPartial.py:170-499 is the data regime)."""
+    cfg = _cfg(tmp_path, 1)
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, partial=True),
+        model=dataclasses.replace(
+            cfg.model,
+            motion_pair_factor=1.0,
+            motion_pair_corr="feat",
+            attn_temp_start=4.0,
+            attn_temp_steps=10,
+            purity_factor=1.0,
+            purity_warmup_steps=10,
+        ),
+    )
+    tr = Trainer(cfg, stage=1, mesh=make_mesh(2), log_dir=str(tmp_path))
+    params = tr.train(num_steps=2)
+    assert params is not None
+    summ = dict(tr.summary.items())
+    assert "mp" in summ and np.isfinite(summ["mp"])
+    assert "mt_iou" in summ and 0.0 <= summ["mt_iou"] <= 1.0
