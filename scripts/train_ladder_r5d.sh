@@ -16,7 +16,12 @@ left () { echo $(( DEADLINE_EPOCH - $(date +%s) )); }
 over () { [ "$(left)" -le 180 ]; }
 
 wait_relay () {
-  until timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+  # devices() alone is not a liveness proof: on 2026-08-20 the relay listed
+  # devices in 0.1 s while its execution queue was wedged behind a hung
+  # trainer RPC.  Require a small executed matmul whose result is fetched.
+  until timeout 90 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128)); float((x @ x).sum())" >/dev/null 2>&1; do
     over && exit 0
     echo "[$(date +%H:%M:%S)] relay down; waiting" >> logs_r5/ladder_r5d.log
     sleep 60
