@@ -172,7 +172,20 @@ if [ -f ckpt_r5/partlap_stage0.msgpack ] || [ -f ckpt_r5/partlap_stage0_resume.m
   run_eval partlap_eval laptop_partial ckpt_r5/partlap_stage1.msgpack "$pglb"
 fi
 
-# ---- 2. safemp (seed from the tracked r4 finals) --------------------------------
+# ---- 2. glassmp (spatial EM term; b1 for the 240-anchor family's HBM) ----------
+# Runs BEFORE safemp: glassmp is a NEW measurement (the spatial-EM lever's
+# first training verdict — finding 9 ships without one), while safemp
+# re-confirms an already-recorded number (0.670, finding 8).
+train_stage glassmp eyeglasses 1 2000 1 3600 \
+    --resume-glb ckpt_r2/eyeglasses_stage0.msgpack \
+    --eval-freq 500 --log-freq 100 \
+    --motion-pair-factor 1.0 --attn-temp-start 4.0 --attn-temp-steps 1200 \
+    --purity-factor 1.0 --purity-warmup 1500 --ov-max-factor 1.0 \
+    --motion-pair-spatial 0.3
+run_eval glassmp_eval eyeglasses ckpt_r5/glassmp_stage1.msgpack \
+    ckpt_r2/eyeglasses_stage0.msgpack
+
+# ---- 3. safemp (seed from the tracked r4 finals) --------------------------------
 if [ ! -f ckpt_r5/safemp_seed.msgpack ] && [ -f ckpt_r4/safe_stage1.msgpack ]; then
   strip_weights ckpt_r4/safe_stage1.msgpack ckpt_r5/safemp_seed.msgpack
 fi
@@ -187,16 +200,6 @@ train_stage safemp safe 1 1600 2 4200 \
     --resume-glb ckpt_r4/safe_stage0.msgpack \
     --eval-freq 400 --log-freq 100 "${MP_FLAGS[@]}"
 run_eval safemp_eval safe ckpt_r5/safemp_stage1.msgpack ckpt_r4/safe_stage0.msgpack
-
-# ---- 3. glassmp (spatial EM term; b1 for the 240-anchor family's HBM) ----------
-train_stage glassmp eyeglasses 1 2000 1 3600 \
-    --resume-glb ckpt_r2/eyeglasses_stage0.msgpack \
-    --eval-freq 500 --log-freq 100 \
-    --motion-pair-factor 1.0 --attn-temp-start 4.0 --attn-temp-steps 1200 \
-    --purity-factor 1.0 --purity-warmup 1500 --ov-max-factor 1.0 \
-    --motion-pair-spatial 0.3
-run_eval glassmp_eval eyeglasses ckpt_r5/glassmp_stage1.msgpack \
-    ckpt_r2/eyeglasses_stage0.msgpack
 
 # ---- 4. drawerx2: continue the r4 drawerx state (1200 cum steps) to 2800 -------
 if [ ! -f ckpt_r5/drawerx2_stage1.steps ] && [ -f ckpt_r4/drawerx_stage1.msgpack ]; then
