@@ -98,10 +98,19 @@ class Trainer:
 
     def load_glb(self, path: str):
         """Load a frozen stage-0 checkpoint for pre-alignment
-        (--resume-path-glb)."""
+        (--resume-path-glb).
+
+        Accepts both weight-only finals and full-train-state periodic
+        checkpoints: resumable ladders harvest the latest periodic save when
+        a stage-0 run is cut by a deadline, and that file carries
+        params+opt_state+step.  ``load_params_any`` unwraps it; the previous
+        strict ``load_checkpoint`` refused (0/92 leaves restored — the
+        round-5 partlap stage-1 failure)."""
+        from .checkpoint import load_params_any
+
         xyz = jnp.zeros((2, self.cfg.model.input_num, 3))
         tgt = self._init_glb_model.init(jax.random.PRNGKey(0), xyz)
-        self.glb_params = load_checkpoint(path, tgt)
+        self.glb_params = load_params_any(path, tgt)
         self.log.info(f"loaded stage-0 weights from {path}")
 
     def resume(self, path: str):

@@ -54,6 +54,29 @@ def test_stage1_training_with_frozen_glb(tmp_path):
     assert "iou" in dict(tr1.summary.items())
 
 
+def test_load_glb_accepts_full_train_state(tmp_path):
+    """Resumable ladders harvest periodic full-train-state checkpoints when a
+    stage-0 run is deadline-cut; ``--resume-glb`` must unwrap them (regression:
+    the round-5 partlap stage-1 arm failed with 0/92 leaves restored)."""
+    from equi_articulated_pose_tpu.train.checkpoint import save_train_state
+
+    cfg = _cfg(tmp_path, 0)
+    mesh = make_mesh(2)
+    tr0 = Trainer(cfg, stage=0, mesh=mesh, log_dir=str(tmp_path))
+    p0 = tr0.train(num_steps=1)
+    path = os.path.join(str(tmp_path), "glb_state.msgpack")
+    save_train_state(path, jax.device_get(p0), jax.device_get(tr0.opt_state), 1)
+
+    cfg1 = cfg.replace(train=dataclasses.replace(cfg.train, global_rot=True))
+    tr1 = Trainer(cfg1, stage=1, mesh=mesh, log_dir=str(tmp_path))
+    tr1.load_glb(path)
+    a = jax.tree_util.tree_leaves(jax.device_get(tr1.glb_params))
+    b = jax.tree_util.tree_leaves(jax.device_get(p0))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y)
+
+
 def test_checkpoint_roundtrip_and_safe_load(tmp_path):
     cfg = _cfg(tmp_path, 0)
     tr = Trainer(cfg, stage=0, mesh=make_mesh(1), log_dir=str(tmp_path))
