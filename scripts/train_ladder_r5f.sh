@@ -177,6 +177,33 @@ train_stage safemp safe safe 1 1600 2 4200 \
     --eval-freq 400 --log-freq 100 "${MP_FLAGS[@]}"
 run_eval safemp_eval safe ckpt_r5/safemp_stage1.msgpack ckpt_r4/safe_stage0.msgpack
 
+# ---- 2b. laptopmp: motion-pair + SPATIAL EM on laptop -------------------------
+# The spatial position term lifts the laptop motion teacher from 0.587 to
+# 0.966 IoU (logs_r5/motion_target_laptop_{base,spatial}.log) — the best
+# teacher of any category.  Warm from the r3 laptop stage-1 final
+# (weights-only: fresh moments + the temperature anneal re-plasticizes the
+# saturated attention, the safemp-validated pattern).
+if [ ! -f ckpt_r5/laptopmp_seed.msgpack ] && [ -f ckpt_r3/laptop_stage1.msgpack ]; then
+  python - <<'EOF'
+from flax import serialization
+raw = serialization.msgpack_restore(open("ckpt_r3/laptop_stage1.msgpack", "rb").read())
+weights = raw["params"] if "opt_state" in raw and "params" in raw else raw
+open("ckpt_r5/laptopmp_seed.msgpack", "wb").write(serialization.to_bytes(weights))
+EOF
+fi
+if [ -f ckpt_r5/laptopmp_seed.msgpack ] && [ ! -f ckpt_r5/laptopmp_stage1_resume.msgpack ]; then
+  cp ckpt_r5/laptopmp_seed.msgpack ckpt_r5/laptopmp_stage1_resume.msgpack
+  echo 0 > ckpt_r5/laptopmp_stage1.steps
+fi
+train_stage laptopmp laptop laptop 1 1600 2 4200 \
+    --resume-glb ckpt_r3/laptop_stage0.msgpack \
+    --eval-freq 400 --log-freq 100 \
+    --motion-pair-factor 1.0 --motion-pair-spatial 0.3 \
+    --attn-temp-start 4.0 --attn-temp-steps 1200 \
+    --purity-factor 1.0 --purity-warmup 1500 --ov-max-factor 1.0
+run_eval laptopmp_eval laptop ckpt_r5/laptopmp_stage1.msgpack \
+    ckpt_r3/laptop_stage0.msgpack
+
 # ---- 3. drawerx2: continue the r4 drawerx state (1200 cum) to 2800 -------------
 if [ ! -f ckpt_r5/drawerx2_stage1.steps ] && [ -f ckpt_r4/drawerx_stage1.msgpack ]; then
   cp ckpt_r4/drawerx_stage1.msgpack ckpt_r5/drawerx2_stage1_resume.msgpack
