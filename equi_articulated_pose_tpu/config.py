@@ -219,6 +219,10 @@ class DataConfig:
     n_samples: int = 100
     partial: bool = False
     num_workers: int = 4
+    # sample each prismatic part's opening independently per sample instead
+    # of the tied multi-sample grid (drawer: restores the between-part
+    # motion signal; opt-in to keep earlier drawer rows comparable)
+    indep_prismatic: bool = False
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,10 @@ def build_dataset(data_cfg, split: str = "train", canonical_input: bool = False,
         global_rot_mode=data_cfg.global_rot_mode,
         canonical_input=canonical_input,
     )
+    if dt in ("synthetic", "motion", "motion2", "sapien"):
+        # per-part independent prismatic joint states (drawer motion-pair
+        # teacher; see data/articulated.py build_sample)
+        common["indep_prismatic"] = getattr(data_cfg, "indep_prismatic", False)
     common.update(kw)
     if dt == "synthetic":
         # honour the preset's partial flag so `--category laptop_partial

@@ -122,6 +122,7 @@ def build_sample(
     noise_std: float = 0.0,
     mesh=None,                      # (verts, tris, tri_seg) for partial views
     partial_rng: Optional[np.random.RandomState] = None,
+    indep_prismatic: bool = False,  # per-part independent translation states
 ) -> Dict[str, np.ndarray]:
     """Returns the reference sample dict (same keys, channels-last [N, 3]).
 
@@ -203,9 +204,20 @@ def build_sample(
         elif moving_tra:
             axis = np.asarray(j.direction, dtype=np.float64)
             axis = axis / np.linalg.norm(axis)
-            dist = rng.uniform(0.0, 0.25) if not use_multi_sample else (
-                0.25 / n_samples
-            ) * sample_index
+            # Default multi-sample grid ties every translating part of a
+            # sample to the same distance (the rotation-grid pattern) —
+            # which makes drawers mutually inseparable by motion (all share
+            # one rigid translation; RESULTS.md r5 finding 9).  The
+            # reference repo ships no drawer data recipe (its SAPIEN
+            # drawer dataset file is absent), so tied states are this
+            # generator's own choice; ``indep_prismatic`` samples each
+            # part's opening independently (real multi-drawer scans are
+            # independently open), which restores the between-part motion
+            # signal the motion-pair teacher needs.
+            if not use_multi_sample or indep_prismatic:
+                dist = rng.uniform(0.0, 0.25)
+            else:
+                dist = (0.25 / n_samples) * sample_index
             angles.append(dist)
             axes.append(axis)
             pvs.append((np.asarray(j.center) - center_pt) / length_bb)

@@ -45,8 +45,10 @@ class MotionDataset:
         seed: int = 0,
         split_file: str | None = None,
         partial_view: bool = False,
+        indep_prismatic: bool = False,
     ):
         self.partial_view = partial_view
+        self.indep_prismatic = indep_prismatic
         self.shape_root = os.path.join(root, shape_type)
         self.shape_type = shape_type
         self.split = split
@@ -147,4 +149,5 @@ class MotionDataset:
             canonical_input=self.canonical_input,
             mesh=(verts, tris, tri_seg) if self.partial_view else None,
             partial_rng=partial_rng,
+            indep_prismatic=self.indep_prismatic,
         )

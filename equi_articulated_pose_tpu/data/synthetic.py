@@ -149,6 +149,7 @@ class SyntheticDataset:
         partial_view: bool = False,
         cache_samples: bool = True,
         cache_limit: int = 4096,
+        indep_prismatic: bool = False,
     ):
         self.shape_type = shape_type
         self.split = split
@@ -167,6 +168,7 @@ class SyntheticDataset:
         # bottlenecks the TPU step (~0.5 s/sample vs ~0.1 s/step)
         self.cache_samples = cache_samples
         self.cache_limit = cache_limit
+        self.indep_prismatic = indep_prismatic
         self._sample_cache: dict = {}
         self._base_cache: dict = {}
         base = seed + (0 if split == "train" else 10_000)
@@ -224,4 +226,5 @@ class SyntheticDataset:
             canonical_input=self.canonical_input,
             mesh=mesh if self.partial_view else None,
             partial_rng=partial_rng,
+            indep_prismatic=self.indep_prismatic,
         )

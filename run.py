@@ -33,6 +33,12 @@ def build_argparser():
                         help="override dataset_type (synthetic | motion | "
                              "motion_partial | hoi4d | sapien)")
         sp.add_argument("--data-path", default="./data")
+        sp.add_argument("--indep-prismatic", action="store_true",
+                        help="sample each prismatic part's opening"
+                             " independently (drawer: restores the"
+                             " between-part motion signal the motion-pair"
+                             " teacher needs; default keeps the tied grid"
+                             " so earlier drawer rows stay comparable)")
         sp.add_argument("--batch-size", type=int, default=None)
         sp.add_argument("--ckpt-dir", default="./ckpt")
         sp.add_argument("--compute-dtype", default=None,
@@ -140,6 +146,8 @@ def _make_cfg(args):
     data_kw = {"dataset_path": args.data_path}
     if args.dataset:
         data_kw["dataset_type"] = args.dataset
+    if getattr(args, "indep_prismatic", False):
+        data_kw["indep_prismatic"] = True
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, **data_kw), model_dir=args.ckpt_dir
     )

@@ -34,6 +34,8 @@ ap.add_argument("cats", nargs="*",
 ap.add_argument("--spatial", type=float, default=0.0,
                 help="spatial_weight for the EM (0 = pure motion)")
 ap.add_argument("--spatial-tau", type=float, default=0.04)
+ap.add_argument("--indep", action="store_true",
+                help="independent per-part prismatic states (drawer)")
 args = ap.parse_args()
 cats = args.cats
 B, NBATCH = 4, 8
@@ -41,7 +43,8 @@ B, NBATCH = 4, 8
 for cat in cats:
     cfg = get_config(cat)
     cfg = cfg.replace(data=cfg.data.__class__(
-        **{**cfg.data.__dict__, "dataset_type": "synthetic"}))
+        **{**cfg.data.__dict__, "dataset_type": "synthetic",
+           "indep_prismatic": args.indep}))
     ds = build_dataset(cfg.data, split="train")
     loader = DataLoader(ds, B, seed=0, shuffle=True, prefetch=0)
     S = cfg.model.nmasks

@@ -204,15 +204,34 @@ train_stage laptopmp laptop laptop 1 1600 2 4200 \
 run_eval laptopmp_eval laptop ckpt_r5/laptopmp_stage1.msgpack \
     ckpt_r3/laptop_stage0.msgpack
 
-# ---- 3. drawerx2: continue the r4 drawerx state (1200 cum) to 2800 -------------
-if [ ! -f ckpt_r5/drawerx2_stage1.steps ] && [ -f ckpt_r4/drawerx_stage1.msgpack ]; then
-  cp ckpt_r4/drawerx_stage1.msgpack ckpt_r5/drawerx2_stage1_resume.msgpack
-  cat ckpt_r4/drawerx_stage1.steps > ckpt_r5/drawerx2_stage1.steps
+# ---- 3. drawermp: motion-pair on INDEPENDENT prismatic states ------------------
+# Tied multi-sample states made drawers mutually inseparable by motion
+# (teacher 0.33); --indep-prismatic samples each drawer's opening
+# independently and lifts the pure-motion teacher to 0.534 (spatial term
+# HURTS here, 0.365 — the compactness preference splits the cabinet).
+# Warm from the r4 drawerx final (weights-only), horizon-extends it too
+# (VERDICT r4 item 8).  Second eval on the legacy tied grid for
+# comparability with earlier drawer rows.
+if [ ! -f ckpt_r5/drawermp_seed.msgpack ] && [ -f ckpt_r4/drawerx_stage1.msgpack ]; then
+  python - <<'EOF'
+from flax import serialization
+raw = serialization.msgpack_restore(open("ckpt_r4/drawerx_stage1.msgpack", "rb").read())
+weights = raw["params"] if "opt_state" in raw and "params" in raw else raw
+open("ckpt_r5/drawermp_seed.msgpack", "wb").write(serialization.to_bytes(weights))
+EOF
 fi
-train_stage drawerx2 drawer drawer 1 2800 2 3600 \
+if [ -f ckpt_r5/drawermp_seed.msgpack ] && [ ! -f ckpt_r5/drawermp_stage1_resume.msgpack ]; then
+  cp ckpt_r5/drawermp_seed.msgpack ckpt_r5/drawermp_stage1_resume.msgpack
+  echo 0 > ckpt_r5/drawermp_stage1.steps
+fi
+train_stage drawermp drawer drawer 1 1600 2 4200 \
     --resume-glb ckpt_r2/drawer_stage0.msgpack \
-    --eval-freq 400 --log-freq 100 --ov-max-factor 1.0
-run_eval drawerx2_eval drawer ckpt_r5/drawerx2_stage1.msgpack \
+    --eval-freq 400 --log-freq 100 --indep-prismatic \
+    --motion-pair-factor 1.0 --attn-temp-start 4.0 --attn-temp-steps 1200 \
+    --purity-factor 1.0 --purity-warmup 1500 --ov-max-factor 1.0
+run_eval drawermp_eval drawer ckpt_r5/drawermp_stage1.msgpack \
+    ckpt_r2/drawer_stage0.msgpack --indep-prismatic
+run_eval drawermp_eval_tied drawer ckpt_r5/drawermp_stage1.msgpack \
     ckpt_r2/drawer_stage0.msgpack
 
 # ---- 4. finish glassmp if the r5d pass was cut mid-train -----------------------
